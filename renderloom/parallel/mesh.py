@@ -1,0 +1,60 @@
+"""Mesh + sharding helpers for data-parallel training.
+
+The reference trains on exactly one GPU (SURVEY.md §2.5); renderloom's train
+steps are written against a ``jax.sharding.Mesh`` with a ``data`` axis:
+batches are sharded over ``data``, parameters/optimizer state replicated,
+and XLA inserts the gradient ``psum`` automatically from the sharding
+annotations.  The same step function runs on 1 chip (trivial mesh) or a pod
+slice over ICI.  A ``model`` axis is reserved for tensor-sharding large
+towers later.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              data: Optional[int] = None, model: int = 1) -> Mesh:
+    """Build a ``(data, model)`` mesh covering ``devices``.
+
+    Defaults to all addressable devices on the ``data`` axis.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(
+            f"mesh {data}x{model} does not cover {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 (batch) over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a host batch pytree with axis 0 sharded over ``data``."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Device-put a pytree fully replicated over the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
