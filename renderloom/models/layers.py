@@ -1,0 +1,244 @@
+"""Renderer building blocks: spectral-norm convs, instance norm, SPADE.
+
+The reference composes these via imaginaire's order-string machinery
+(``Pose_Guided_Neural_Rendering/models/layers/conv.py:14-135``,
+``residual.py:16-151``, ``activation_norm.py:109-234``).  renderloom keeps
+only the variants the shipped config actually instantiates, as explicit
+flax modules (SURVEY.md §7.4):
+
+* ``SNConv`` — conv with optional spectral weight norm (power-iteration
+  state lives in the ``batch_stats`` collection via flax's SpectralNorm,
+  matching torch's update-on-forward-in-train-mode semantics);
+* ``instance_norm`` — per-sample per-channel spatial normalization;
+* ``Spade`` — param-free instance norm + per-condition 1×1 conv producing
+  pixelwise (γ, β): ``out = norm(x)·(1+γ)+β`` (activation_norm.py:211-234);
+* ``SpadeResBlock`` — pre-act 'NACNAC' residual block with SPADE norms
+  and a norm→1×1-conv learned shortcut when channel counts differ
+  (residual.py:59-151, generator.py:88-93);
+* ``ConvBlock`` — conv→instance-norm→leaky 'CNA' block (conv.py order
+  machinery) used by the mask net and discriminators;
+* ``ResBlockCNACN`` — the mask net's post-act residual block
+  (generator.py:466-476).
+
+Layout: NHWC (TPU-native; the reference is NCHW).  Leaky slope 0.2
+(``layers/nonlinearity.py:22``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+LEAKY_SLOPE = 0.2
+
+
+def leaky(x):
+    return nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5,
+                  scale: Optional[jax.Array] = None,
+                  bias: Optional[jax.Array] = None) -> jax.Array:
+    """Per-(sample, channel) normalization over H, W.  NHWC."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    out = (x - mean) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        out = out * scale
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+class InstanceNorm(nn.Module):
+    """Affine instance norm (torch ``InstanceNorm2d(affine=True)`` as the
+    imaginaire factory defaults it, activation_norm.py:399-402)."""
+
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if not self.affine:
+            return instance_norm(x)
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        return instance_norm(x, scale=scale, bias=bias)
+
+
+class SNConv(nn.Module):
+    """Conv (NHWC) with optional spectral weight normalization.
+
+    Spectral norm maintains a power-iteration ``u`` vector in the
+    ``batch_stats`` collection; pass ``update_stats=True`` during training
+    so it tracks the current weights (matching torch's
+    ``spectral_norm`` update-on-forward behavior, the reference's
+    ``weight_norm_type: spectral`` everywhere, configs/HSM.yaml:49).
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    spectral: bool = True
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        conv = nn.Conv(self.features, (self.kernel, self.kernel),
+                       strides=(self.stride, self.stride), padding="SAME",
+                       use_bias=self.use_bias, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="conv")
+        if not self.spectral:
+            return conv(x)
+        return nn.SpectralNorm(conv, name="sn")(x,
+                                                update_stats=update_stats)
+
+
+class ConvBlock(nn.Module):
+    """'CNA': conv → (instance norm) → leaky (conv.py order machinery;
+    the mask/discriminator configuration)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    spectral: bool = True
+    norm: str = "instance"          # 'instance' | 'none'
+    activation: str = "leaky"       # 'leaky' | 'none' | 'sigmoid'
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        x = SNConv(self.features, self.kernel, self.stride, self.spectral,
+                   dtype=self.dtype, name="conv")(x, update_stats)
+        if self.norm == "instance":
+            x = InstanceNorm(name="norm")(x)
+        if self.activation == "leaky":
+            x = leaky(x)
+        elif self.activation == "sigmoid":
+            x = jax.nn.sigmoid(x)
+        return x
+
+
+class Spade(nn.Module):
+    """SPADE conditional norm (activation_norm.py:109-234).
+
+    The shipped config uses ``num_filters=0`` (generator.py:83-85) so the
+    per-condition MLP collapses to a single k×k conv (k=1,
+    configs/HSM.yaml:48) producing 2C channels chunked into (γ, β); the
+    inner norm is param-free instance norm; the condition map is
+    nearest-resized to the feature size.
+    """
+
+    features: int
+    kernel: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond):
+        out = instance_norm(x)
+        B, H, W, _ = x.shape
+        if cond.shape[1] != H or cond.shape[2] != W:
+            cond = jax.image.resize(
+                cond, (cond.shape[0], H, W, cond.shape[-1]),
+                method="nearest")
+        affine = nn.Conv(2 * self.features, (self.kernel, self.kernel),
+                         padding="SAME", dtype=self.dtype,
+                         param_dtype=jnp.float32, name="affine")(cond)
+        gamma, beta = jnp.split(affine, 2, axis=-1)
+        return out * (1.0 + gamma) + beta
+
+
+class SpadeResBlock(nn.Module):
+    """Pre-act SPADE residual block, order 'NACNAC' (residual.py:59-151
+    with generator.py:88-93's parameters).
+
+    hidden = min(in, out); learned shortcut (SPADE-norm → 1×1 spectral
+    conv, no activation) when channel counts differ.
+    """
+
+    features: int                   # output channels
+    kernel: int = 3
+    spade_kernel: int = 1
+    spectral: bool = True
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond, update_stats: bool = False):
+        in_ch = x.shape[-1]
+        hidden = min(in_ch, self.features)
+
+        def branch(mdl, x, cond, update_stats):
+            h = Spade(in_ch, mdl.spade_kernel, mdl.dtype,
+                      name="spade0")(x, cond)
+            h = leaky(h)
+            h = SNConv(hidden, mdl.kernel, 1, mdl.spectral,
+                       dtype=mdl.dtype, name="conv0")(h, update_stats)
+            h = Spade(hidden, mdl.spade_kernel, mdl.dtype,
+                      name="spade1")(h, cond)
+            h = leaky(h)
+            h = SNConv(mdl.features, mdl.kernel, 1, mdl.spectral,
+                       dtype=mdl.dtype, name="conv1")(h, update_stats)
+            return h
+
+        if self.remat:
+            branch = nn.remat(branch, static_argnums=(3,))
+        dx = branch(self, x, cond, update_stats)
+
+        if in_ch != self.features:
+            s = Spade(in_ch, self.spade_kernel, self.dtype,
+                      name="spade_s")(x, cond)
+            s = SNConv(self.features, 1, 1, self.spectral,
+                       dtype=self.dtype, name="conv_s")(s, update_stats)
+        else:
+            s = x
+        return s + dx
+
+
+class ResBlockCNACN(nn.Module):
+    """Post-act residual block 'CNACN' with instance norms
+    (generator.py:462-476): conv→IN→leaky → conv→IN, plus a conv→IN
+    shortcut when channels differ."""
+
+    features: int
+    kernel: int = 3
+    spectral: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        in_ch = x.shape[-1]
+        hidden = min(in_ch, self.features)
+        h = SNConv(hidden, self.kernel, 1, self.spectral,
+                   dtype=self.dtype, name="conv0")(x, update_stats)
+        h = InstanceNorm(name="norm0")(h)
+        h = leaky(h)
+        h = SNConv(self.features, self.kernel, 1, self.spectral,
+                   dtype=self.dtype, name="conv1")(h, update_stats)
+        h = InstanceNorm(name="norm1")(h)
+        if in_ch != self.features:
+            s = SNConv(self.features, 1, 1, self.spectral,
+                       dtype=self.dtype, name="conv_s")(x, update_stats)
+            s = InstanceNorm(name="norm_s")(s)
+        else:
+            s = x
+        return s + h
+
+
+def avg_pool_3x3s2(x: jax.Array) -> jax.Array:
+    """torch ``AvgPool2d(3, stride=2, padding=1)`` with
+    count_include_pad=True (generator.py:127).  NHWC."""
+    return nn.avg_pool(x, (3, 3), strides=(2, 2),
+                       padding=((1, 1), (1, 1)),
+                       count_include_pad=True)
+
+
+def upsample2x(x: jax.Array) -> jax.Array:
+    """Nearest ×2 (torch ``F.interpolate(scale_factor=2)``,
+    generator.py:128)."""
+    B, H, W, C = x.shape
+    return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="nearest")

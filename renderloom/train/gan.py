@@ -1,0 +1,313 @@
+"""Renderer GAN training: per-frame alternating D/G updates in a scan.
+
+Rebuild of ``Pose_Guided_Neural_Rendering/models/trainer.py:43-293`` as a
+single jitted step.  The reference's python frame loop — generate frame
+i+1 autoregressively from the previous *detached* fused output, update D
+on the detached composite, then update G through the *updated* D — maps
+to one ``lax.scan`` over the frame axis whose carry holds both parameter
+sets, both optimizer states and the previous fused frame
+(trainer.py:157-193; SURVEY.md §7 "hard parts" #2).
+
+Loss semantics (trainer.py:197-288, weights configs/HSM.yaml:107-148):
+
+* D: hinge on each output key, total = Σ w_key·(L_real + L_fake),
+  w = {fuse: 0.0, raw: 1.0, face: 0.1, hand: 0.1};
+* G: Σ w_key·(−mean D_fake) + fm_w·Σ FM_key
+  + 10·(VGG(fuse, real) + VGG(gen·fg, real·fg))
+  + 30·(L1(fuse, real) + MaskedL1(gen, fg, real)) + 5·mask-reg;
+* two Adam(amsgrad) optimizers, TTUR (G 1e-4 / D 4e-4, β=(0, 0.999)).
+
+Gradients never flow across frames (prev fuse is stop_gradient'ed, as in
+the reference where ``.detach()`` is called on every carried tensor).
+Data parallel: batch axis sharded over the mesh ``data`` axis; params and
+optimizer states replicated — XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from renderloom.core.config import RendererConfig
+from renderloom.models.discriminator import DiscriminatorSet
+from renderloom.models.perceptual import PerceptualLoss, VGG19Features
+from renderloom.models.renderer import Generator, composite
+from renderloom.train.gan_losses import (feature_matching_loss, gan_loss,
+                                         mask_regulation_loss,
+                                         masked_l1_image)
+from renderloom.train.schedules import step_schedule
+
+
+class GanTrainState(struct.PyTreeNode):
+    params_g: dict
+    params_d: dict
+    stats_g: dict          # spectral-norm power-iteration state
+    stats_d: dict
+    opt_g: optax.OptState
+    opt_d: optax.OptState
+    step: jax.Array
+    key: jax.Array
+
+
+def make_gan_optimizers(cfg: RendererConfig, steps_per_epoch: int = 1):
+    o = cfg.optim
+    sched_g = step_schedule(o.lr, o.lr_policy, steps_per_epoch, o.gamma,
+                            o.step_size)
+    sched_d = step_schedule(o.lr_d, o.lr_policy, steps_per_epoch, o.gamma,
+                            o.step_size)
+    tx_g = optax.amsgrad(learning_rate=sched_g, b1=o.beta1, b2=o.beta2)
+    tx_d = optax.amsgrad(learning_rate=sched_d, b1=o.beta1, b2=o.beta2)
+    return tx_g, tx_d
+
+
+def create_gan_state(key: jax.Array, cfg: RendererConfig,
+                     steps_per_epoch: int = 1,
+                     height: Optional[int] = None,
+                     width: Optional[int] = None):
+    """Initialize generator + discriminator + optimizers."""
+    H = height or cfg.data.model_height
+    W = width or cfg.data.model_width
+    k_g, k_d, k_train = jax.random.split(key, 3)
+    gen = Generator(cfg.gen)
+    dis = DiscriminatorSet(cfg.dis)
+
+    label = jnp.zeros((1, H, W, cfg.gen.input_label_nc))
+    img = jnp.zeros((1, H, W, cfg.gen.input_image_nc))
+    fg = jnp.zeros((1, H, W, 1))
+
+    vars_g = gen.init(k_g, label, label, img, img)
+    vars_d = dis.init(k_d, label, img, img, img, fg)
+
+    tx_g, tx_d = make_gan_optimizers(cfg, steps_per_epoch)
+    state = GanTrainState(
+        params_g=vars_g["params"],
+        params_d=vars_d["params"],
+        stats_g=vars_g.get("batch_stats", {}),
+        stats_d=vars_d.get("batch_stats", {}),
+        opt_g=tx_g.init(vars_g["params"]),
+        opt_d=tx_d.init(vars_d["params"]),
+        step=jnp.zeros((), jnp.int32),
+        key=k_train,
+    )
+    return gen, dis, (tx_g, tx_d), state
+
+
+def _weights_dict(cfg: RendererConfig) -> Dict[str, float]:
+    g = cfg.gan
+    w = {"fuse": g.fuse, "raw": g.raw}
+    if cfg.dis.use_face:
+        w["face"] = g.face
+    if cfg.dis.use_hand:
+        w["hand"] = g.hand
+    return w
+
+
+def d_losses(d_out: Dict, mode: str, weights: Dict[str, float]):
+    """Σ w_key·(hinge_real + hinge_fake) (trainer.py:197-225)."""
+    per_key = {}
+    for key, out in d_out.items():
+        wgt = out.get("weight")
+        loss = (gan_loss(out["pred_fake"]["output"], False, True, mode,
+                         wgt)
+                + gan_loss(out["pred_real"]["output"], True, True, mode,
+                           wgt))
+        per_key[key] = loss
+    total = sum(per_key[k] * weights[k] for k in per_key)
+    return total, per_key
+
+
+def g_gan_losses(d_out: Dict, mode: str, weights: Dict[str, float],
+                 fm_w: float):
+    """G-side GAN + feature-matching totals (trainer.py:228-288)."""
+    gan_total = 0.0
+    fm_total = 0.0
+    for key, out in d_out.items():
+        wgt = out.get("weight")
+        gan_total = gan_total + weights[key] * gan_loss(
+            out["pred_fake"]["output"], True, False, mode, wgt)
+        fm_total = fm_total + fm_w * feature_matching_loss(
+            out["pred_fake"]["features"], out["pred_real"]["features"],
+            wgt)
+    return gan_total, fm_total
+
+
+def make_gan_train_step(gen: Generator, dis: DiscriminatorSet,
+                        txs, cfg: RendererConfig,
+                        perceptual: PerceptualLoss):
+    """Build the jitted multi-frame train step.
+
+    ``batch`` (all NHWC, frame axis second): label (B,L,H,W,22),
+    image (B,L,H,W,3), back (B,L,H,W,3), fg_mask (B,L,H,W,1), all
+    float32 in [-1,1] (masks in {0,1}).
+    """
+    tx_g, tx_d = txs
+    mode = cfg.gan_mode
+    weights = _weights_dict(cfg)
+    vgg_vars = perceptual.variables
+    vgg = perceptual
+
+    def g_forward(params_g, stats_g, label, label_prev, back, img_prev,
+                  update):
+        out, new_vars = gen.apply(
+            {"params": params_g, "batch_stats": stats_g},
+            label, label_prev, back, img_prev, update_stats=update,
+            mutable=["batch_stats"] if update else [])
+        img, mask = out
+        new_stats = new_vars.get("batch_stats", stats_g) if update \
+            else stats_g
+        return img, mask, new_stats
+
+    def d_forward(params_d, stats_d, label, real, fake, raw, fg, update):
+        out, new_vars = dis.apply(
+            {"params": params_d, "batch_stats": stats_d},
+            label, real, fake, raw, fg, update_stats=update,
+            mutable=["batch_stats"] if update else [])
+        new_stats = new_vars.get("batch_stats", stats_d) if update \
+            else stats_d
+        return out, new_stats
+
+    def frame_step(carry, xs):
+        (params_g, params_d, stats_g, stats_d, opt_g, opt_d,
+         prev_fuse) = carry
+        label = xs["label"]
+        label_prev = xs["label_prev"]
+        back = xs["back"]
+        real = xs["real"]
+        fg = xs["fg"]
+
+        img_prev = jax.lax.stop_gradient(prev_fuse)
+
+        # --- plain G forward for the D update inputs (no stats update;
+        # the gradient forward below performs the power iteration)
+        gen_img, gen_mask, _ = g_forward(params_g, stats_g, label,
+                                         label_prev, back, img_prev,
+                                         False)
+        fuse = composite(gen_img, gen_mask, back)
+        fuse_sg = jax.lax.stop_gradient(fuse)
+        gen_sg = jax.lax.stop_gradient(gen_img)
+
+        # --- D update (old D params, detached G outputs)
+        def d_loss_fn(p_d):
+            d_out, new_sd = d_forward(p_d, stats_d, label, real, fuse_sg,
+                                      gen_sg, fg, True)
+            total, per_key = d_losses(d_out, mode, weights)
+            return total, (per_key, new_sd)
+
+        (d_total, (d_per_key, stats_d_new)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(params_d)
+        d_updates, opt_d_new = tx_d.update(d_grads, opt_d, params_d)
+        params_d_new = optax.apply_updates(params_d, d_updates)
+
+        # --- G update through the *updated* D (trainer.py:192-193)
+        def g_loss_fn(p_g):
+            img, mask, new_sg = g_forward(p_g, stats_g, label, label_prev,
+                                          back, img_prev, True)
+            fused = composite(img, mask, back)
+            d_out, _ = d_forward(params_d_new, stats_d_new, label, real,
+                                 fused, img, fg, False)
+            loss_gan, loss_fm = g_gan_losses(d_out, mode, weights,
+                                             cfg.fm_w)
+            loss_perc = (vgg(fused, real) + vgg(img * fg, real * fg)) \
+                * cfg.perceptual.weight
+            loss_l1 = (jnp.mean(jnp.abs(fused - real))
+                       + masked_l1_image(img, fg, real)) * cfg.l1_w
+            loss_mask = mask_regulation_loss(mask) * cfg.mask_w
+            total = loss_gan + loss_fm + loss_perc + loss_l1 + loss_mask
+            aux = {"fused": fused, "stats_g": new_sg,
+                   "metrics": {"g/gan": loss_gan, "g/fm": loss_fm,
+                               "g/perc": loss_perc, "g/l1": loss_l1,
+                               "g/mask": loss_mask, "g/total": total}}
+            return total, aux
+
+        (g_total, aux), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(params_g)
+        g_updates, opt_g_new = tx_g.update(g_grads, opt_g, params_g)
+        params_g_new = optax.apply_updates(params_g, g_updates)
+
+        metrics = dict(aux["metrics"])
+        metrics["d/total"] = d_total
+        for k, v in d_per_key.items():
+            metrics[f"d/{k}"] = v
+
+        new_carry = (params_g_new, params_d_new, aux["stats_g"],
+                     stats_d_new, opt_g_new, opt_d_new,
+                     jax.lax.stop_gradient(aux["fused"]))
+        return new_carry, metrics
+
+    @jax.jit
+    def train_step(state: GanTrainState, batch):
+        # frame-major: (L, B, H, W, C)
+        tm = lambda x: jnp.swapaxes(x, 0, 1)
+        label = tm(batch["label"])
+        image = tm(batch["image"])
+        back = tm(batch["back"])
+        fg = tm(batch["fg_mask"])
+        L = label.shape[0]
+
+        xs = {
+            "label": label[1:L - 1],
+            "label_prev": label[0:L - 2],
+            "back": back[1:L - 1],
+            "real": image[1:L - 1],
+            "fg": fg[1:L - 1],
+        }
+        carry = (state.params_g, state.params_d, state.stats_g,
+                 state.stats_d, state.opt_g, state.opt_d, image[0])
+        carry, metrics = jax.lax.scan(frame_step, carry, xs)
+        (params_g, params_d, stats_g, stats_d, opt_g, opt_d, _) = carry
+        new_state = state.replace(
+            params_g=params_g, params_d=params_d, stats_g=stats_g,
+            stats_d=stats_d, opt_g=opt_g, opt_d=opt_d,
+            step=state.step + 1)
+        # average metrics over frames
+        metrics = jax.tree.map(jnp.mean, metrics)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_rollout(gen: Generator, cfg: RendererConfig):
+    """Jitted autoregressive inference rollout (evaluator semantics,
+    ``models/evaluator.py:48-147``): keyframes pass through, in-between
+    frames are generated from the previous fused output.
+
+    ``batch``: label (B,L,H,W,22), back (B,L,H,W,3), key_img (B,L,H,W,3)
+    ground-truth/input frames, ``is_key`` (L,) bool.  Returns fused
+    (B,L,H,W,3) and masks (B,L,H,W,1).
+    """
+
+    @jax.jit
+    def rollout(params_g, stats_g, batch):
+        tm = lambda x: jnp.swapaxes(x, 0, 1)
+        label = tm(batch["label"])
+        back = tm(batch["back"])
+        key_img = tm(batch["key_img"])
+        is_key = batch["is_key"]
+        L = label.shape[0]
+
+        def step(carry, xs):
+            prev_fuse, prev_label = carry
+            img, mask = gen.apply(
+                {"params": params_g, "batch_stats": stats_g},
+                xs["label"], prev_label, xs["back"], prev_fuse,
+                update_stats=False)
+            fused = composite(img, mask, xs["back"])
+            # keyframes: pass through the provided frame, zero mask
+            # (evaluator.py:94-97)
+            k = xs["is_key"]
+            fused = jnp.where(k, xs["key_img"], fused)
+            mask = jnp.where(k, jnp.zeros_like(mask), mask)
+            return (fused, xs["label"]), (fused, mask)
+
+        init = (key_img[0], label[0])
+        xs = {"label": label, "back": back, "key_img": key_img,
+              "is_key": is_key.reshape(L, 1, 1, 1, 1)}
+        _, (fused, masks) = jax.lax.scan(step, init, xs)
+        return tm(fused), tm(masks)
+
+    return rollout

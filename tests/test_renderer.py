@@ -1,0 +1,199 @@
+"""Renderer stack: shapes, GAN train step, rollout, crops, losses.
+
+SURVEY.md §4 levels 3-4 for the renderer: model shape/jit checks and a
+training smoke test (losses finite, parameters move, spectral stats
+update), plus unit tests of the loss functions against hand-computed
+values.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from renderloom.core.config import (DiscriminatorConfig, EmbedConfig,
+                                    GeneratorConfig, MaskNetConfig,
+                                    PatchDiscConfig, RendererConfig,
+                                    RendererDataConfig)
+from renderloom.models.perceptual import PerceptualLoss
+from renderloom.models.renderer import Generator, composite
+from renderloom.ops.crops import face_crop, hand_crops
+from renderloom.train.gan import (create_gan_state, make_gan_train_step,
+                                  make_rollout)
+from renderloom.train.gan_losses import (feature_matching_loss, gan_loss,
+                                         mask_regulation_loss,
+                                         masked_l1_image)
+
+H, W = 64, 96
+
+
+def tiny_cfg():
+    return RendererConfig(
+        gen=GeneratorConfig(
+            num_filters=4, max_num_filters=32, num_layers=6,
+            num_downsamples=4,
+            mask=MaskNetConfig(num_filters=4, max_num_filters=32,
+                               num_downsamples=3, num_res_blocks=2),
+            embed=EmbedConfig(num_filters=4, max_num_filters=32,
+                              num_downsamples=4)),
+        dis=DiscriminatorConfig(
+            image=PatchDiscConfig(num_filters=4, max_num_filters=32,
+                                  num_discriminators=2, num_layers=2),
+            face=PatchDiscConfig(num_filters=4, max_num_filters=32,
+                                 num_discriminators=1, num_layers=2),
+            hand=PatchDiscConfig(num_filters=4, max_num_filters=32,
+                                 num_discriminators=1, num_layers=2)),
+        data=RendererDataConfig(model_width=W, model_height=H))
+
+
+@pytest.fixture(scope="module")
+def gan_setup():
+    cfg = tiny_cfg()
+    gen, dis, txs, state = create_gan_state(jax.random.PRNGKey(0), cfg,
+                                            height=H, width=W)
+    return cfg, gen, dis, txs, state
+
+
+def make_batch(B=2, L=4):
+    rng = np.random.default_rng(0)
+    return {
+        "label": rng.uniform(-1, 1, (B, L, H, W, 22)).astype(np.float32),
+        "image": rng.uniform(-1, 1, (B, L, H, W, 3)).astype(np.float32),
+        "back": rng.uniform(-1, 1, (B, L, H, W, 3)).astype(np.float32),
+        "fg_mask": (rng.uniform(0, 1, (B, L, H, W, 1)) > 0.5
+                    ).astype(np.float32),
+    }
+
+
+def test_generator_forward_shapes(gan_setup):
+    cfg, gen, _, _, state = gan_setup
+    B = 2
+    label = jnp.zeros((B, H, W, 22))
+    img = jnp.zeros((B, H, W, 3))
+    out, _ = gen.apply(
+        {"params": state.params_g, "batch_stats": state.stats_g},
+        label, label, img, img, update_stats=False,
+        mutable=["batch_stats"])
+    gen_img, mask = out
+    assert gen_img.shape == (B, H, W, 3)
+    assert mask.shape == (B, H, W, 1)
+    # tanh / sigmoid ranges
+    assert float(jnp.abs(gen_img).max()) <= 1.0
+    assert 0.0 <= float(mask.min()) and float(mask.max()) <= 1.0
+
+
+def test_gan_train_step_updates_everything(gan_setup):
+    cfg, gen, dis, txs, state = gan_setup
+    step = make_gan_train_step(gen, dis, txs, cfg, PerceptualLoss())
+    batch = make_batch()
+    new_state, metrics = step(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    # both parameter sets moved
+    delta_g = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                           state.params_g, new_state.params_g)
+    delta_d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                           state.params_d, new_state.params_d)
+    assert max(jax.tree.leaves(delta_g)) > 0
+    assert max(jax.tree.leaves(delta_d)) > 0
+    # spectral power-iteration state updated
+    if jax.tree.leaves(state.stats_g):
+        ds = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                          state.stats_g, new_state.stats_g)
+        assert max(jax.tree.leaves(ds)) > 0
+    assert int(new_state.step) == int(state.step) + 1
+
+
+def test_rollout_keyframe_passthrough(gan_setup):
+    cfg, gen, _, _, state = gan_setup
+    rollout = make_rollout(gen, cfg)
+    B, L = 1, 6
+    rng = np.random.default_rng(1)
+    batch = {
+        "label": rng.uniform(-1, 1, (B, L, H, W, 22)).astype(np.float32),
+        "back": rng.uniform(-1, 1, (B, L, H, W, 3)).astype(np.float32),
+        "key_img": rng.uniform(-1, 1, (B, L, H, W, 3)).astype(np.float32),
+        "is_key": np.arange(L) % 2 == 0,
+    }
+    fused, masks = rollout(state.params_g, state.stats_g, batch)
+    assert fused.shape == (B, L, H, W, 3)
+    # even frames = exact pass-through with zero mask (evaluator.py:94-97)
+    np.testing.assert_allclose(np.asarray(fused[:, 0]),
+                               batch["key_img"][:, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fused[:, 2]),
+                               batch["key_img"][:, 2], atol=1e-6)
+    assert float(jnp.abs(masks[:, 0]).max()) == 0.0
+    # odd frames are generated (differ from inputs)
+    assert float(jnp.abs(fused[:, 1] - batch["key_img"][:, 1]).max()) > 1e-3
+
+
+def test_composite_formula():
+    g = jnp.full((1, 4, 4, 3), 1.0)
+    b = jnp.full((1, 4, 4, 3), -1.0)
+    m = jnp.full((1, 4, 4, 1), 0.25)
+    out = composite(g, m, b)
+    np.testing.assert_allclose(np.asarray(out),
+                               0.25 * 1.0 + 0.75 * -1.0, atol=1e-6)
+
+
+def test_hinge_loss_values():
+    logits = jnp.array([[2.0, -2.0]])
+    # D real: mean(relu(1-x)) = (0 + 3)/2
+    assert abs(float(gan_loss([logits], True, True)) - 1.5) < 1e-6
+    # D fake: mean(relu(1+x)) = (3 + 0)/2
+    assert abs(float(gan_loss([logits], False, True)) - 1.5) < 1e-6
+    # G: -mean(x) = 0
+    assert abs(float(gan_loss([logits], True, False))) < 1e-6
+
+
+def test_masked_l1_image_alpha_blend():
+    pred = jnp.ones((1, 2, 2, 3)) * 2.0
+    tgt = jnp.zeros((1, 2, 2, 3))
+    fg = jnp.zeros((1, 2, 2, 1)).at[0, 0, 0].set(1.0)
+    # global = 2; masked = sum(|2|*3 px) / 3 = 2 → (9*2+2)/10 = 2
+    loss = masked_l1_image(pred, fg, tgt)
+    assert abs(float(loss) - 2.0) < 1e-6
+
+
+def test_mask_regulation_zero_for_zero_mask():
+    m = jnp.zeros((1, 8, 8, 1))
+    assert float(mask_regulation_loss(m)) == 0.0
+    m1 = jnp.ones((1, 8, 8, 1))
+    # gradients 0, L1 = 64 → 64/(8*8*4) = 0.25
+    assert abs(float(mask_regulation_loss(m1)) - 0.25) < 1e-6
+
+
+def test_face_crop_shapes_and_fallback():
+    B = 2
+    label = jnp.zeros((B, H, W, 22))
+    # sample 0: put a nose heatmap blob; sample 1: empty (fallback path)
+    ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    blob = jnp.exp(-(((xs - 40.0) ** 2 + (ys - 20.0) ** 2) / 30.0))
+    label = label.at[0, :, :, 3].set(blob)
+    img = jnp.broadcast_to(
+        jnp.arange(W, dtype=jnp.float32)[None, None, :, None] / W,
+        (B, H, W, 3))
+    crops = face_crop(img, label)
+    S = H // 32 * 8
+    assert crops.shape == (B, S, S, 3)
+    assert np.isfinite(np.asarray(crops)).all()
+
+
+def test_hand_crops_validity():
+    B = 1
+    label = jnp.zeros((B, H, W, 22))
+    ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    blob = jnp.exp(-(((xs - 60.0) ** 2 + (ys - 30.0) ** 2) / 20.0))
+    label = label.at[0, :, :, 20].set(blob)    # joint 17 (channel -2)
+    img = jnp.ones((B, H, W, 3))
+    crops, valid = hand_crops(img, label)
+    S = H // 64 * 8
+    assert crops.shape == (B, 2, S, S, 3)
+    assert bool(valid[0, 0]) and not bool(valid[0, 1])
+
+
+def test_feature_matching_loss_formula():
+    f = [[jnp.ones((1, 2, 2, 1))], [jnp.ones((1, 2, 2, 1)) * 3.0]]
+    r = [[jnp.zeros((1, 2, 2, 1))], [jnp.zeros((1, 2, 2, 1))]]
+    # (1 + 3) / 2 scales = 2
+    assert abs(float(feature_matching_loss(f, r)) - 2.0) < 1e-6
