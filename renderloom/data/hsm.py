@@ -1,0 +1,227 @@
+"""HumanSloMo h5 reading + on-device window preparation.
+
+Host side (:class:`HsmReader`) reads the reference's ``HumanSlomo.h5``
+layout unchanged — per-clip groups with variable-length PNG/JPG byte
+datasets ``train_images/train_dain/train_poses`` and ``gt_*``
+(``HumanSloMo_Dataset/lib/gen_dataset_h5.py:57-174``) — and only decodes
+bytes to uint8 arrays.
+
+Device side (:func:`prepare_train_window`) replaces the reference's
+per-frame CPU work in DataLoader workers
+(``Pose_Guided_Neural_Rendering/datasets/HSM_auto_dataset.py:103-173``):
+one shared affine (resize + shift/scale/rotate) per window applied to
+images *and* keypoints, [-1,1] normalization, heatmap/skeleton/mask
+rasterization, and the background pipeline (DAIN frame of t−1, frame 0
+zeroed, gaussian-blurred body parts pasted at ``random_blur_rate`` to
+simulate warp artifacts) — all inside jit.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import h5py
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from renderloom.core.config import RendererDataConfig
+from renderloom.core.registry import DATASETS
+from renderloom.ops import image as img_ops
+from renderloom.ops import rasterize as raster
+
+
+def decode_image(buf: np.ndarray) -> np.ndarray:
+    from PIL import Image
+    return np.asarray(Image.open(io.BytesIO(buf.tobytes())).convert("RGB"))
+
+
+@DATASETS.register("hsm")
+class HsmReader:
+    """Window sampler over the HumanSlomo h5 (train or test phase)."""
+
+    def __init__(self, h5_path: str, video_list: Sequence[str],
+                 phase: str = "train", max_frames: int = 4):
+        self.h5_path = h5_path
+        self.phase = phase
+        self.max_frames = max_frames
+        self.video_list = list(video_list)
+        img_key = "train_images" if phase == "train" else "gt_images"
+        self.n_frames: Dict[str, int] = {}
+        self.samples: List[Tuple[str, int]] = []
+        with h5py.File(h5_path, "r") as f:
+            for vid in self.video_list:
+                if vid not in f:
+                    continue
+                n = len(f[vid][img_key])
+                self.n_frames[vid] = n
+                # safe sliding windows (the reference over-runs by 2:
+                # HSM_auto_dataset.py:94 — a latent bug, not reproduced)
+                for start in range(max(n - max_frames + 1, 0)):
+                    self.samples.append((vid, start))
+        self._file: Optional[h5py.File] = None
+
+    def __len__(self):
+        return len(self.samples)
+
+    def set_max_frames(self, max_frames: int):
+        """Curriculum: regrow windows at a new length (the reference's
+        ``update_max_frame``, HSM_auto_dataset.py:339-358, minus its
+        ``videl_list``/``train_fake`` typos)."""
+        self.__init__(self.h5_path, self.video_list, self.phase,
+                      max_frames)
+
+    def _handle(self) -> h5py.File:
+        if self._file is None:
+            self._file = h5py.File(self.h5_path, "r")
+        return self._file
+
+    def read_window(self, vid: str, start: int
+                    ) -> Dict[str, np.ndarray]:
+        """Decode one window: images (F,H0,W0,3) u8, dain (F,H0,W0,3) u8
+        (entry i = DAIN frame start+i−1; entry for frame 0 of the clip is
+        zeros, HSM_auto_dataset.py:148-149,190-203), poses (F,19,3)."""
+        f = self._handle()
+        grp = f[vid]
+        key_img = "train_images" if self.phase == "train" else "gt_images"
+        key_dain = "train_dain" if self.phase == "train" else "gt_dain"
+        key_pose = "train_poses" if self.phase == "train" else "gt_poses"
+        imgs, dains = [], []
+        for i in range(self.max_frames):
+            idx = start + i
+            imgs.append(decode_image(np.asarray(grp[key_img][idx])))
+            if idx == 0:
+                dains.append(np.zeros_like(imgs[-1]))
+            else:
+                dains.append(decode_image(np.asarray(grp[key_dain][idx - 1])))
+        poses = np.asarray(grp[key_pose][start:start + self.max_frames],
+                           dtype=np.float32)
+        return {"images": np.stack(imgs), "dain": np.stack(dains),
+                "poses": poses}
+
+    def read_test_frame(self, vid: str, index: int) -> Dict[str, np.ndarray]:
+        """Eval fetch (HSM_auto_dataset.py:361-399): gt image, same-index
+        gt DAIN frame, pose row."""
+        f = self._handle()
+        grp = f[vid]
+        return {
+            "image": decode_image(np.asarray(grp["gt_images"][index])),
+            "dain": decode_image(np.asarray(grp["gt_dain"][index])),
+            "pose": np.asarray(grp["gt_poses"][index], dtype=np.float32),
+        }
+
+    def batches(self, rng: np.random.Generator, batch_size: int,
+                shuffle: bool = True, drop_last: bool = True):
+        order = np.arange(len(self.samples))
+        if shuffle:
+            rng.shuffle(order)
+        buf = []
+        for idx in order:
+            buf.append(self.read_window(*self.samples[idx]))
+            if len(buf) == batch_size:
+                yield {k: np.stack([b[k] for b in buf]) for k in buf[0]}
+                buf = []
+        if buf and not drop_last:
+            yield {k: np.stack([b[k] for b in buf]) for k in buf[0]}
+
+
+# ---------------------------------------------------------------------------
+# On-device preparation
+# ---------------------------------------------------------------------------
+
+
+def _window_affine(key: Optional[jax.Array], src_h: int, src_w: int,
+                   cfg: RendererDataConfig, train: bool):
+    """Shared per-window transform: resize to load size, then random
+    shift/scale/rotate (HSM_auto_dataset.py:103-116; shift ±0.0625,
+    rotate ±10°, scale ±0.1)."""
+    resize = img_ops.resize_matrix(src_h, src_w, cfg.load_height,
+                                   cfg.load_width)
+    if not train or key is None:
+        return resize
+    k1, k2, k3 = jax.random.split(key, 3)
+    shift = jax.random.uniform(k1, (), minval=-0.0625, maxval=0.0625)
+    angle = jax.random.uniform(k2, (), minval=-10.0, maxval=10.0)
+    scale = jax.random.uniform(k3, (), minval=-0.1, maxval=0.1)
+    ssr = img_ops.shift_scale_rotate_matrix(cfg.load_height,
+                                            cfg.load_width, shift, shift,
+                                            scale, angle)
+    return img_ops.compose_affine(ssr, resize)
+
+
+def prepare_window(key: Optional[jax.Array], images: jax.Array,
+                   dain: jax.Array, poses: jax.Array,
+                   cfg: RendererDataConfig, train: bool = True
+                   ) -> Dict[str, jax.Array]:
+    """One window, fully on device.
+
+    Args:
+      key: PRNG key (None → deterministic eval path).
+      images: (F, H0, W0, 3) uint8/float.
+      dain: (F, H0, W0, 3) uint8/float, already t−1-shifted on host.
+      poses: (F, 19, 3) xy+conf in source pixel coordinates.
+
+    Returns label (F,H,W,22), image/back (F,H,W,3) in [-1,1],
+    fg_mask (F,H,W,1).
+    """
+    F = images.shape[0]
+    H, W = cfg.model_height, cfg.model_width
+    if key is not None:
+        k_aff, k_ras, k_blur = jax.random.split(key, 3)
+    else:
+        k_aff = k_ras = k_blur = None
+
+    m = _window_affine(k_aff, images.shape[1], images.shape[2], cfg,
+                       train)
+
+    to_unit = lambda x: x.astype(jnp.float32) / 127.5 - 1.0
+    warp = jax.vmap(lambda im: img_ops.affine_warp(im, m, H, W))
+    images_t = warp(to_unit(images))
+    dain_t = warp(to_unit(dain))
+
+    coords = jax.vmap(lambda p: img_ops.transform_keypoints(p[:, :2], m)
+                      )(poses)
+    conf = poses[:, :, 2]
+
+    ras = raster.rasterize_frames(
+        k_ras, coords, conf, H, W, gauss_sigma=cfg.gauss_sigma,
+        random_drop_prob=cfg.random_drop_prob,
+        random_blur_rate=cfg.random_blur_rate, thres=cfg.skeleton_thres,
+        foot_thres=cfg.foot_thres, train=train)
+
+    # label = 3ch skeleton in [-1,1] + 19ch heatmaps (trainer.py:152:
+    # skeleton goes through to_tensor_norm, heatmaps stay [0,1])
+    skel = jnp.transpose(ras["skeleton"], (0, 2, 3, 1)) * 2.0 - 1.0
+    heat = jnp.transpose(ras["heatmaps"], (0, 2, 3, 1))
+    label = jnp.concatenate([skel, heat], axis=-1)
+    fg_mask = ras["mask"][..., None].astype(jnp.float32)
+
+    back = dain_t
+    if train and k_blur is not None:
+        blur = jax.vmap(lambda im: img_ops.gaussian_blur(im, 10.0))(back)
+        part = ras["part_mask"][..., None].astype(jnp.float32)
+        back = blur * part + back * (1.0 - part)
+    # frame 0's background is zeroed on host already (dain row of zeros →
+    # to_unit maps 0 → -1; reference uses literal zeros in normalized
+    # space, HSM_auto_dataset.py:148-149) — force exact zeros:
+    back = back.at[0].set(jnp.where(jnp.any(jnp.abs(dain[0]) > 0), back[0],
+                                    jnp.zeros_like(back[0])))
+
+    return {"label": label, "image": images_t, "back": back,
+            "fg_mask": fg_mask}
+
+
+def prepare_batch(key: Optional[jax.Array], batch: Dict[str, jax.Array],
+                  cfg: RendererDataConfig, train: bool = True):
+    """vmap of :func:`prepare_window` over the batch axis."""
+    B = batch["images"].shape[0]
+    if key is not None:
+        keys = jax.random.split(key, B)
+        return jax.vmap(lambda k, i, d, p: prepare_window(
+            k, i, d, p, cfg, train))(keys, batch["images"], batch["dain"],
+                                     batch["poses"])
+    return jax.vmap(lambda i, d, p: prepare_window(
+        None, i, d, p, cfg, train))(batch["images"], batch["dain"],
+                                    batch["poses"])

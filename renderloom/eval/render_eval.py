@@ -1,0 +1,148 @@
+"""Renderer evaluation: PSNR/SSIM vs the warped-background baseline.
+
+Rebuild of ``Pose_Guided_Neural_Rendering/models/evaluator.py``:
+
+* :func:`evaluate_h5` — the training-time metric
+  (``evaluate_from_dataset``, evaluator.py:48-147): per test clip,
+  autoregressive rollout at sample_rate 2 (even frames pass through as
+  keyframes), foreground-masked PSNR/SSIM on generated frames for both
+  the fused output and the raw warped background →
+  ``{DAIN_PSNR, DAIN_SSIM, OURS_PSNR, OURS_SSIM}``;
+* :func:`render_folder` — the inference path
+  (``evaluate_from_folder``, evaluator.py:165-269): an ``inputs/`` +
+  ``DAIN/`` + ``Predict_motion/`` folder triple → generated frames, with
+  ``sample_rate = 2^⌊log2((F−1)/(K−1))⌋`` derived from pose vs keyframe
+  counts (evaluator.py:187-191).
+
+The rollout itself is the jitted scan from
+:func:`renderloom.train.gan.make_rollout`; frames are prepared on device
+via :func:`renderloom.data.hsm.prepare_window`.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from renderloom.core.config import RendererConfig
+from renderloom.data import openpose as op_io
+from renderloom.data.hsm import HsmReader, prepare_window
+from renderloom.ops.image import masked_metrics
+from renderloom.train.gan import make_rollout
+
+
+def evaluate_h5(gen, state, cfg: RendererConfig, reader: HsmReader,
+                max_keyframes: Optional[int] = None,
+                chunk: int = 16) -> Dict[str, float]:
+    """Training-time eval over the h5 test split (evaluator.py:48-147)."""
+    rollout = make_rollout(gen, cfg)
+    sample_rate = 2
+    d = cfg.data
+    totals = {"DAIN_PSNR": 0.0, "DAIN_SSIM": 0.0, "OURS_PSNR": 0.0,
+              "OURS_SSIM": 0.0}
+    cnt = 0
+
+    for vid in reader.video_list:
+        if vid not in reader.n_frames:
+            continue
+        total = reader.n_frames[vid]
+        limit = max_keyframes if max_keyframes is not None else d.eval_frames
+        seq_len = min(limit * sample_rate + 1, total)
+
+        frames = [reader.read_test_frame(vid, i) for i in range(seq_len)]
+        images = np.stack([f["image"] for f in frames])
+        dain = np.stack([f["dain"] for f in frames])
+        poses = np.stack([f["pose"] for f in frames])
+        prep = prepare_window(None, jnp.asarray(images), jnp.asarray(dain),
+                              jnp.asarray(poses), d, train=False)
+
+        batch = {
+            "label": prep["label"][None],
+            "back": prep["back"][None],
+            "key_img": prep["image"][None],
+            "is_key": jnp.asarray(np.arange(seq_len) % sample_rate == 0),
+        }
+        fused, _ = rollout(state.params_g, state.stats_g, batch)
+
+        for i in range(seq_len):
+            if i % sample_rate == 0:
+                continue
+            fg = prep["fg_mask"][i][None]
+            gt = prep["image"][i][None]
+            ps, ss = masked_metrics(fused[0, i][None], gt, fg)
+            totals["OURS_PSNR"] += float(ps)
+            totals["OURS_SSIM"] += float(ss)
+            ps, ss = masked_metrics(prep["back"][i][None], gt, fg)
+            totals["DAIN_PSNR"] += float(ps)
+            totals["DAIN_SSIM"] += float(ss)
+            cnt += 1
+
+    return {k: v / max(cnt, 1) for k, v in totals.items()}
+
+
+def _load_folder_images(path: str) -> List[str]:
+    return [os.path.join(path, f) for f in sorted(os.listdir(path))
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))]
+
+
+def render_folder(gen, state, cfg: RendererConfig, input_dir: str,
+                  dain_dir: str, pose_dir: str, out_dir: str) -> int:
+    """Folder inference (evaluator.py:165-269): keyframe images +
+    DAIN-interpolated backgrounds + upsampled pose JSONs → fused frames
+    written as PNGs.  Returns the number of frames written."""
+    from PIL import Image
+
+    d = cfg.data
+    key_paths = _load_folder_images(input_dir)
+    dain_paths = _load_folder_images(dain_dir)
+    pose_files = sorted(f for f in os.listdir(pose_dir)
+                        if f.endswith(".json"))
+    num_poses = len(pose_files)
+    num_keys = len(key_paths)
+    ratio = max((num_poses - 1) // max(num_keys - 1, 1), 1)
+    rate = 2 ** int(math.log2(ratio))
+    seq_len = (num_keys - 1) * rate + 1
+
+    H, W = d.model_height, d.model_width
+
+    def load(path):
+        img = Image.open(path).convert("RGB")
+        return np.asarray(img)
+
+    # poses: openpose JSONs in image coordinates (unnormalized read)
+    motion, conf, _ = op_io.read_openpose_dir(pose_dir, scale=1.0,
+                                              offset=0.0)
+    poses = np.concatenate([motion.transpose(2, 0, 1),
+                            conf.transpose(2, 0, 1)], axis=2)[:seq_len]
+
+    images = np.zeros((seq_len,) + load(dain_paths[0]).shape, np.uint8)
+    for k, p in enumerate(key_paths[:((seq_len - 1) // rate) + 1]):
+        images[k * rate] = load(p)
+    dain = np.stack([load(p) for p in dain_paths[:seq_len]])
+
+    prep = prepare_window(None, jnp.asarray(images), jnp.asarray(dain),
+                          jnp.asarray(poses.astype(np.float32)), d,
+                          train=False)
+    # inference background = DAIN frame at t (not t−1): the folder layout
+    # provides per-frame warped backgrounds directly (evaluator.py:246)
+    rollout = make_rollout(gen, cfg)
+    batch = {
+        "label": prep["label"][None],
+        "back": prep["back"][None],
+        "key_img": prep["image"][None],
+        "is_key": jnp.asarray(np.arange(seq_len) % rate == 0),
+    }
+    fused, _ = rollout(state.params_g, state.stats_g, batch)
+
+    os.makedirs(out_dir, exist_ok=True)
+    arr = np.asarray(jnp.clip(fused[0] * 0.5 + 0.5, 0, 1) * 255
+                     ).astype(np.uint8)
+    for i in range(seq_len):
+        Image.fromarray(arr[i]).save(
+            os.path.join(out_dir, f"{i:05d}.png"))
+    return seq_len

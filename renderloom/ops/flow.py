@@ -1,0 +1,200 @@
+"""Flow-based background frame interpolation (the DAIN-stage replacement).
+
+The reference shells out to the external CUDA DAIN repo to synthesize
+warped background frames offline
+(``HumanSloMo_Dataset/scripts/DAIN_test.py:46-198``,
+``DAIN_train.py:109-112``; SURVEY.md §2.4).  renderloom replaces that
+stage with an in-framework, jitted interpolator so backgrounds are
+produced on-device as part of the pipeline:
+
+* coarse-to-fine pyramidal Lucas-Kanade flow (pure jnp: gaussian
+  pyramids, per-pixel 2×2 structure-tensor solves with window averaging,
+  iterative warp refinement) — compiler-friendly, no data-dependent
+  control flow;
+* middle-frame synthesis by bidirectional backward warping with
+  (1−t, t) blending weighted by forward-backward consistency;
+* the reference's two usage patterns are both covered:
+  ``interpolate_pair(a, b, t)`` (keyframe pair + fractional time — the
+  test-time recursive midpoint loop, DAIN_test.py:105-198) and
+  ``train_background(frames)`` (interpolate i→i+2 to fake frame i+1's
+  background so the model never sees a perfect background,
+  DAIN_train.py:109-112).
+
+The interface is exactly "keyframe pair + t → frame" so a learned
+interpolator can drop in later (SURVEY.md §7.6).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from renderloom.ops.image import gaussian_kernel1d
+
+
+def _blur(img: jax.Array, sigma: float = 1.0) -> jax.Array:
+    """Separable gaussian blur of (H, W, C)."""
+    r = max(int(2 * sigma), 1)
+    k = gaussian_kernel1d(sigma, r)
+    x = jnp.moveaxis(img, -1, 0)[:, None]
+    x = jnp.pad(x, [(0, 0), (0, 0), (r, r), (0, 0)], mode="edge")
+    x = jax.lax.conv_general_dilated(x, k.reshape(1, 1, -1, 1), (1, 1),
+                                     "VALID")
+    x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (r, r)], mode="edge")
+    x = jax.lax.conv_general_dilated(x, k.reshape(1, 1, 1, -1), (1, 1),
+                                     "VALID")
+    return jnp.moveaxis(x[:, 0], 0, -1)
+
+
+def _downsample2(img: jax.Array) -> jax.Array:
+    return _blur(img, 1.0)[::2, ::2]
+
+
+def _box_filter(x: jax.Array, radius: int) -> jax.Array:
+    """(H, W) mean filter via cumulative sums — O(HW) regardless of
+    radius (the LK window average)."""
+    k = 2 * radius + 1
+    pad = jnp.pad(x, ((radius + 1, radius), (radius + 1, radius)),
+                  mode="edge")
+    c = jnp.cumsum(jnp.cumsum(pad, axis=0), axis=1)
+    s = (c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k])
+    return s / (k * k)
+
+
+def backward_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """Sample ``img`` (H,W,C) at ``x + flow`` (flow (H,W,2) in xy)."""
+    H, W, C = img.shape
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    sx = xs + flow[:, :, 0]
+    sy = ys + flow[:, :, 1]
+    return jnp.stack([
+        jax.scipy.ndimage.map_coordinates(img[:, :, c], [sy, sx], order=1,
+                                          mode="nearest")
+        for c in range(C)], axis=-1)
+
+
+def _gray(img: jax.Array) -> jax.Array:
+    return jnp.mean(img, axis=-1)
+
+
+def _lk_refine(i0: jax.Array, i1: jax.Array, flow: jax.Array,
+               radius: int = 7, iters: int = 3,
+               damp: float = 1e-6) -> jax.Array:
+    """Iterative Lucas-Kanade refinement at one pyramid level.
+
+    i0, i1: (H, W) grayscale.  flow: (H, W, 2).  Solves the window-
+    averaged 2×2 normal equations per pixel; ``damp`` is a Tikhonov
+    diagonal keeping the solve bounded in textureless windows without
+    swamping weak-texture gradients.
+    """
+    gx, gy = jnp.gradient(i0, axis=(1, 0))
+    ixx = _box_filter(gx * gx, radius) + damp
+    iyy = _box_filter(gy * gy, radius) + damp
+    ixy = _box_filter(gx * gy, radius)
+    det = ixx * iyy - ixy * ixy
+
+    def body(_, flow):
+        warped = backward_warp(i1[..., None], flow)[:, :, 0]
+        it = warped - i0
+        bx = _box_filter(gx * it, radius)
+        by = _box_filter(gy * it, radius)
+        du = -(iyy * bx - ixy * by) / det
+        dv = -(ixx * by - ixy * bx) / det
+        # clamp per-iteration updates (keeps the solve stable where the
+        # structure tensor is near-singular)
+        du = jnp.clip(du, -2.0, 2.0)
+        dv = jnp.clip(dv, -2.0, 2.0)
+        return flow + jnp.stack([du, dv], axis=-1)
+
+    return jax.lax.fori_loop(0, iters, body, flow)
+
+
+def estimate_flow(img0: jax.Array, img1: jax.Array, levels: int = 4,
+                  iters: int = 3, radius: int = 7) -> jax.Array:
+    """Dense flow img0 → img1 for (H, W, C) images in any fixed range.
+
+    Coarse-to-fine: flow estimated at 1/2^(levels-1) scale and upsampled
+    ×2 with magnitude doubling between levels.
+    """
+    g0, g1 = _gray(img0), _gray(img1)
+    pyr0, pyr1 = [g0], [g1]
+    for _ in range(levels - 1):
+        pyr0.append(_downsample2(pyr0[-1][..., None])[:, :, 0])
+        pyr1.append(_downsample2(pyr1[-1][..., None])[:, :, 0])
+
+    flow = jnp.zeros(pyr0[-1].shape + (2,))
+    for lvl in reversed(range(levels)):
+        if lvl != levels - 1:
+            H, W = pyr0[lvl].shape
+            flow = 2.0 * jax.image.resize(flow, (H, W, 2),
+                                          method="bilinear")
+        flow = _lk_refine(pyr0[lvl], pyr1[lvl], flow, radius, iters)
+    return flow
+
+
+@partial(jax.jit, static_argnames=("levels", "iters", "radius"))
+def interpolate_pair(img0: jax.Array, img1: jax.Array, t: jax.Array,
+                     levels: int = 4, iters: int = 3,
+                     radius: int = 7) -> jax.Array:
+    """Synthesize the frame at time ``t`` ∈ (0, 1) between two keyframes.
+
+    Bidirectional: warp img0 forward by ``t`` of flow0→1 and img1
+    backward by ``1−t`` of flow1→0, blend by (1−t, t) modulated by
+    brightness-constancy error of each warp.
+    """
+    f01 = estimate_flow(img0, img1, levels, iters, radius)
+    f10 = estimate_flow(img1, img0, levels, iters, radius)
+
+    w0 = backward_warp(img0, t * f10)          # pull from img0 toward t
+    w1 = backward_warp(img1, (1.0 - t) * f01)  # pull from img1 toward t
+
+    e0 = jnp.mean(jnp.abs(backward_warp(img1, f01) - img0), axis=-1,
+                  keepdims=True)
+    e1 = jnp.mean(jnp.abs(backward_warp(img0, f10) - img1), axis=-1,
+                  keepdims=True)
+    a0 = (1.0 - t) / (1.0 + e0)
+    a1 = t / (1.0 + e1)
+    return (a0 * w0 + a1 * w1) / (a0 + a1)
+
+
+def frame_double_pairs(frames: jax.Array, levels: int = 4,
+                       iters: int = 3) -> jax.Array:
+    """(K, H, W, C) keyframes → (2K-1, ...) with flow midpoints — one
+    pass of the reference's recursive doubling (DAIN_test.py:105-198)."""
+    mids = jax.vmap(lambda a, b: interpolate_pair(a, b, 0.5, levels,
+                                                  iters))(frames[:-1],
+                                                          frames[1:])
+    K, H, W, C = frames.shape
+    out = jnp.zeros((2 * K - 1, H, W, C), frames.dtype)
+    out = out.at[::2].set(frames)
+    out = out.at[1::2].set(mids)
+    return out
+
+
+def upsample_background(frames: jax.Array, rate: int, levels: int = 4,
+                        iters: int = 3) -> jax.Array:
+    """(K, H, W, C) keyframes → ((K-1)·rate+1, ...) by repeated doubling
+    (rate must be a power of two, like the reference pipeline)."""
+    times = int(rate).bit_length() - 1
+    assert 2 ** times == rate, "rate must be a power of two"
+    for _ in range(times):
+        frames = frame_double_pairs(frames, levels, iters)
+    return frames
+
+
+def train_background(frames: jax.Array, levels: int = 4,
+                     iters: int = 3) -> jax.Array:
+    """(F, H, W, C) real frames → (F, H, W, C) surrogate backgrounds:
+    frame i+1's background is interpolated from frames i and i+2,
+    skipping the true middle frame (DAIN_train.py:109-112) so the
+    renderer never sees a perfect background.  Ends copy their
+    neighbors' interpolations."""
+    mids = jax.vmap(lambda a, b: interpolate_pair(a, b, 0.5, levels,
+                                                  iters))(frames[:-2],
+                                                          frames[2:])
+    out = jnp.concatenate([mids[:1], mids, mids[-1:]], axis=0)
+    return out

@@ -1,0 +1,202 @@
+"""Image ops: affine augmentation, warping, blur, PSNR/SSIM.
+
+On-device replacements for the CPU libraries the reference leans on:
+
+* the shared albumentations Resize+ShiftScaleRotate window transform
+  applied to images *and* keypoints
+  (``Pose_Guided_Neural_Rendering/datasets/HSM_auto_dataset.py:16-36``)
+  becomes an explicit 2×3 affine matrix applied with bilinear
+  ``map_coordinates`` sampling — the host only decodes PNG bytes;
+* PIL ``GaussianBlur(radius=10)`` (``HSM_auto_dataset.py:155``) becomes a
+  separable gaussian convolution;
+* piq ``psnr``/``ssim`` (``models/evaluator.py:149-163``) become jnp
+  implementations (SSIM: 11×11 gaussian window, σ=1.5, k1=0.01,
+  k2=0.03 — the piq/skimage convention).
+
+All functions are jittable and vmappable; images are NHWC or HWC float32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Affine window transform (ShiftScaleRotate semantics)
+# ---------------------------------------------------------------------------
+
+
+def shift_scale_rotate_matrix(height: int, width: int, shift_x: jax.Array,
+                              shift_y: jax.Array, scale: jax.Array,
+                              angle_deg: jax.Array) -> jax.Array:
+    """Forward 2×3 affine (albumentations ShiftScaleRotate convention):
+    rotate by ``angle_deg`` about the image center, scale by
+    ``1 + scale``, then translate by ``(shift_x·W, shift_y·H)``.
+
+    Returns M with ``[x', y']ᵀ = M @ [x, y, 1]ᵀ``.
+    """
+    theta = angle_deg * (math.pi / 180.0)
+    s = 1.0 + scale
+    cos, sin = jnp.cos(theta) * s, jnp.sin(theta) * s
+    cx, cy = width / 2.0, height / 2.0
+    # rotation+scale about center, then shift
+    tx = cx - cos * cx + sin * cy + shift_x * width
+    ty = cy - sin * cx - cos * cy + shift_y * height
+    return jnp.array([[cos, -sin, tx], [sin, cos, ty]])
+
+
+def invert_affine(m: jax.Array) -> jax.Array:
+    """Invert a 2×3 affine matrix."""
+    a, b, tx = m[0]
+    c, d, ty = m[1]
+    det = a * d - b * c
+    ia, ib = d / det, -b / det
+    ic, id_ = -c / det, a / det
+    itx = -(ia * tx + ib * ty)
+    ity = -(ic * tx + id_ * ty)
+    return jnp.array([[ia, ib, itx], [ic, id_, ity]])
+
+
+def affine_warp(img: jax.Array, m: jax.Array, height: Optional[int] = None,
+                width: Optional[int] = None) -> jax.Array:
+    """Apply forward affine ``m`` to an (H, W, C) image via inverse-map
+    bilinear sampling; out-of-border reads are zero (the reference uses
+    ``BORDER_CONSTANT`` 0, HSM_auto_dataset.py:26)."""
+    H, W, C = img.shape
+    out_h = height or H
+    out_w = width or W
+    inv = invert_affine(m)
+    ys, xs = jnp.meshgrid(jnp.arange(out_h, dtype=jnp.float32),
+                          jnp.arange(out_w, dtype=jnp.float32),
+                          indexing="ij")
+    src_x = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
+    src_y = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
+
+    def sample_channel(ch):
+        return jax.scipy.ndimage.map_coordinates(
+            ch, [src_y, src_x], order=1, mode="constant", cval=0.0)
+
+    return jnp.stack([sample_channel(img[:, :, c]) for c in range(C)],
+                     axis=-1)
+
+
+def transform_keypoints(kps: jax.Array, m: jax.Array) -> jax.Array:
+    """(J, 2) xy through the forward affine."""
+    x = m[0, 0] * kps[:, 0] + m[0, 1] * kps[:, 1] + m[0, 2]
+    y = m[1, 0] * kps[:, 0] + m[1, 1] * kps[:, 1] + m[1, 2]
+    return jnp.stack([x, y], axis=-1)
+
+
+def resize_matrix(src_h: int, src_w: int, dst_h: int,
+                  dst_w: int) -> jax.Array:
+    """Affine for a plain resize (the A.Resize stage)."""
+    return jnp.array([[dst_w / src_w, 0.0, 0.0],
+                      [0.0, dst_h / src_h, 0.0]])
+
+
+def compose_affine(m2: jax.Array, m1: jax.Array) -> jax.Array:
+    """m2 ∘ m1 (both 2×3)."""
+    a = jnp.concatenate([m1, jnp.array([[0.0, 0.0, 1.0]])], axis=0)
+    b = jnp.concatenate([m2, jnp.array([[0.0, 0.0, 1.0]])], axis=0)
+    return (b @ a)[:2]
+
+
+# ---------------------------------------------------------------------------
+# Gaussian blur (PIL GaussianBlur equivalent)
+# ---------------------------------------------------------------------------
+
+
+def gaussian_kernel1d(sigma: float, radius: int) -> jax.Array:
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(img: jax.Array, radius: float = 10.0) -> jax.Array:
+    """Separable gaussian blur of (H, W, C); PIL's ``GaussianBlur(r)``
+    uses σ ≈ r (HSM_auto_dataset.py:155 blurs the background with
+    radius 10 to simulate warp artifacts)."""
+    sigma = float(radius)
+    r = int(2 * sigma)
+    k = gaussian_kernel1d(sigma, r)
+    x = jnp.moveaxis(img, -1, 0)[:, None]         # (C, 1, H, W)
+    kh = k.reshape(1, 1, -1, 1)
+    kw = k.reshape(1, 1, 1, -1)
+    pad_h = [(0, 0), (0, 0), (r, r), (0, 0)]
+    pad_w = [(0, 0), (0, 0), (0, 0), (r, r)]
+    x = jnp.pad(x, pad_h, mode="edge")
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
+    x = jnp.pad(x, pad_w, mode="edge")
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
+    return jnp.moveaxis(x[:, 0], 0, -1)
+
+
+# ---------------------------------------------------------------------------
+# PSNR / SSIM (piq-compatible, evaluator.py:149-163)
+# ---------------------------------------------------------------------------
+
+
+def psnr(pred: jax.Array, target: jax.Array,
+         data_range: float = 1.0) -> jax.Array:
+    """Mean PSNR over the batch; inputs (..., H, W, C) in [0, range]."""
+    axes = tuple(range(pred.ndim))[1:] if pred.ndim > 3 else None
+    mse = jnp.mean((pred - target) ** 2, axis=axes)
+    val = 10.0 * jnp.log10(data_range ** 2 / jnp.maximum(mse, 1e-12))
+    return jnp.mean(val)
+
+
+def _ssim_window(kernel_size: int = 11, sigma: float = 1.5) -> jax.Array:
+    k = gaussian_kernel1d(sigma, kernel_size // 2)
+    return jnp.outer(k, k)
+
+
+def ssim(pred: jax.Array, target: jax.Array, data_range: float = 1.0,
+         kernel_size: int = 11, sigma: float = 1.5) -> jax.Array:
+    """Mean SSIM (gaussian 11×11 σ1.5, k1=.01, k2=.03).  NHWC or HWC."""
+    if pred.ndim == 3:
+        pred = pred[None]
+        target = target[None]
+    win = _ssim_window(kernel_size, sigma)
+    C = pred.shape[-1]
+    kernel = jnp.tile(win[None, None], (C, 1, 1, 1))   # (C,1,kh,kw)
+
+    def filt(x):
+        x = jnp.moveaxis(x, -1, 1)                     # NCHW
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "VALID", feature_group_count=C)
+        return y
+
+    k1, k2 = 0.01, 0.03
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    mu_x = filt(pred)
+    mu_y = filt(target)
+    mu_x2, mu_y2, mu_xy = mu_x ** 2, mu_y ** 2, mu_x * mu_y
+    sigma_x = filt(pred * pred) - mu_x2
+    sigma_y = filt(target * target) - mu_y2
+    sigma_xy = filt(pred * target) - mu_xy
+    ssim_map = ((2 * mu_xy + c1) * (2 * sigma_xy + c2)) \
+        / ((mu_x2 + mu_y2 + c1) * (sigma_x + sigma_y + c2))
+    return jnp.mean(ssim_map)
+
+
+def denorm_to_unit(x: jax.Array) -> jax.Array:
+    """[-1, 1] → clamped [0, 1] (evaluator.py:151-154)."""
+    return jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
+
+
+def masked_metrics(pred: jax.Array, target: jax.Array,
+                   fg_mask: Optional[jax.Array] = None
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Reference metric protocol (evaluator.py:149-163): denormalize,
+    clamp, foreground-mask, PSNR + SSIM at data_range 1."""
+    p = denorm_to_unit(pred)
+    t = denorm_to_unit(target)
+    if fg_mask is not None:
+        p = p * fg_mask
+        t = t * fg_mask
+    return psnr(p, t), ssim(p, t)
