@@ -1,16 +1,19 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Primary metric (this round): motion-transformer training throughput in
-pose-sequences/sec on one chip at the reference workload (batch 16,
-321-frame clips, d_model 128, 6+6 layers, full on-device AMASS synthesis
-in the step).  The reference publishes no numbers (BASELINE.md).
-``vs_baseline`` is measured against
-``BASELINE.json``'s ``published`` table when it has an entry, else 1.0.
-The reference's training loop is a PyTorch single-GPU step whose
-per-iteration wall time is the only observable.
+Headline metric (BASELINE.md north star): end-to-end interpolated
+frames/sec on one chip — low-FPS keyframes + poses → dense poses
+(motion transformer) → flow-warped backgrounds (DAIN replacement) →
+autoregressive SPADE rollout with compositing, at the reference model
+scale (d_model 128 6+6 transformer; 16→512-filter generator; 480×320
+frames, ``configs/HSM.yaml:189-193``) and upsample rate 4.
 
-Run: python bench.py  (uses whatever backend is live; axon TPU on the
-driver host, CPU under JAX_PLATFORMS=cpu).
+The reference publishes no numbers (its per-iteration wall time is the
+only observable — BASELINE.md), so ``vs_baseline`` reports against the
+``published`` table in BASELINE.json when an entry exists, else 1.0.
+
+Select other metrics with BENCH_METRIC=motion_train|e2e.
+Run: python bench.py   (axon TPU on the driver host; CPU under
+JAX_PLATFORMS=cpu).
 """
 
 from __future__ import annotations
@@ -24,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def bench_motion_train(steps: int = 20, warmup: int = 3) -> dict:
+    """Full motion-transformer train-step throughput (seq/s/chip)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -32,43 +36,104 @@ def bench_motion_train(steps: int = 20, warmup: int = 3) -> dict:
     from renderloom.parallel import make_mesh, replicate, shard_batch
     from renderloom.train.motion import create_motion_state, make_train_step
 
-    cfg = MotionConfig()                       # reference hyperparameters
+    cfg = MotionConfig()
     mesh = make_mesh()
     model, tx, state = create_motion_state(jax.random.PRNGKey(0), cfg)
     state = replicate(mesh, state)
-    mean = jnp.zeros((19, 2))
-    std = jnp.ones((19, 2))
-    step = make_train_step(model, tx, cfg, mean, std)
+    step = make_train_step(model, tx, cfg, jnp.zeros((19, 2)),
+                           jnp.ones((19, 2)))
 
-    L = cfg.dataset.max_seq_length
-    B = cfg.batch_size
+    L, B = cfg.dataset.max_seq_length, cfg.batch_size
     rng = np.random.default_rng(0)
     batch = shard_batch(mesh, {
         "motion3d": rng.normal(0, 0.3, (B, 52, 3, L)).astype(np.float32),
         "pad_mask": np.zeros((B, L), dtype=bool),
     })
-
     for _ in range(warmup):
         state, metrics = step(state, batch)
     jax.block_until_ready(metrics)
-
     tic = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, batch)
     jax.block_until_ready(metrics)
     wall = time.perf_counter() - tic
+    return {"metric": "motion_train_seqs_per_sec",
+            "value": round(steps * B / wall, 2), "unit": "seq/s",
+            "vs_baseline": 1.0}
 
-    seqs_per_sec = steps * B / wall
-    return {
-        "metric": "motion_train_seqs_per_sec",
-        "value": round(seqs_per_sec, 2),
-        "unit": "seq/s",
-        "vs_baseline": 1.0,
-    }
+
+def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
+              ) -> dict:
+    """End-to-end interpolation throughput in output frames/sec."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from renderloom.core.config import MotionConfig, RendererConfig
+    from renderloom.eval.motion_infer import MotionInterpolator
+    from renderloom.ops.flow import upsample_background
+    from renderloom.train.gan import create_gan_state, make_rollout
+    from renderloom.train.motion import create_motion_state
+
+    mcfg = MotionConfig()
+    rcfg = RendererConfig()
+    H, W = rcfg.data.model_height, rcfg.data.model_width
+
+    m_model, _, m_state = create_motion_state(jax.random.PRNGKey(0), mcfg)
+    interp = MotionInterpolator(
+        m_model, m_state.params, mcfg,
+        np.zeros((19, 2), np.float32), np.ones((19, 2), np.float32))
+
+    gen, _, _, r_state = create_gan_state(jax.random.PRNGKey(1), rcfg,
+                                          height=H, width=W)
+    rollout = make_rollout(gen, rcfg)
+
+    rng = np.random.default_rng(0)
+    K = keyframes
+    L = (K - 1) * rate + 1
+    motion = rng.uniform(-0.4, 0.4, (19, 2, K)).astype(np.float64)
+    conf = np.full((19, 1, K), 0.9)
+    keys_np = rng.uniform(0, 1, (K, H, W, 3)).astype(np.float32)
+
+    from renderloom.data.hsm import prepare_window
+
+    def run_once():
+        pred, _, dense_conf = interp.interpolate_motion(motion, conf, rate)
+        backs = upsample_background(jnp.asarray(keys_np), rate)
+        poses = np.concatenate(
+            [pred * 256 + 256,
+             np.repeat(dense_conf, 1, axis=1)], axis=1
+        ).transpose(2, 0, 1).astype(np.float32)       # (L, 19, 3)
+        images = np.zeros((L, H, W, 3), np.float32)
+        images[::rate] = keys_np * 255.0
+        prep = prepare_window(None, jnp.asarray(images),
+                              jnp.asarray(backs * 255.0),
+                              jnp.asarray(poses), rcfg.data, train=False)
+        batch = {"label": prep["label"][None],
+                 "back": prep["back"][None],
+                 "key_img": prep["image"][None],
+                 "is_key": jnp.asarray(np.arange(L) % rate == 0)}
+        fused, _ = rollout(r_state.params_g, r_state.stats_g, batch)
+        return fused
+
+    jax.block_until_ready(run_once())          # compile
+    tic = time.perf_counter()
+    for _ in range(repeats):
+        out = run_once()
+    jax.block_until_ready(out)
+    wall = time.perf_counter() - tic
+    fps = repeats * L / wall
+    return {"metric": "e2e_interp_frames_per_sec",
+            "value": round(fps, 2), "unit": "frame/s",
+            "vs_baseline": 1.0}
 
 
 def main():
-    result = bench_motion_train()
+    which = os.environ.get("BENCH_METRIC", "e2e")
+    if which == "motion_train":
+        result = bench_motion_train()
+    else:
+        result = bench_e2e()
     print(json.dumps(result))
 
 

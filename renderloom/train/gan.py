@@ -25,6 +25,7 @@ optimizer states replicated — XLA inserts the gradient all-reduce.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -239,7 +240,7 @@ def make_gan_train_step(gen: Generator, dis: DiscriminatorSet,
                      jax.lax.stop_gradient(aux["fused"]))
         return new_carry, metrics
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: GanTrainState, batch):
         # frame-major: (L, B, H, W, C)
         tm = lambda x: jnp.swapaxes(x, 0, 1)

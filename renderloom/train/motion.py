@@ -127,7 +127,7 @@ def make_train_step(model: MotionTransformer, tx, cfg: MotionConfig,
             joint_drop_rate=d.joint_drop_rate, flip_rate=d.flip_rate,
             return_3d=d.return_type == "3D")
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: MotionTrainState, raw_batch):
         k_step = jax.random.fold_in(state.key, state.step)
         k_synth, k_drop = jax.random.split(k_step)

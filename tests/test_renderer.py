@@ -86,7 +86,10 @@ def test_gan_train_step_updates_everything(gan_setup):
     cfg, gen, dis, txs, state = gan_setup
     step = make_gan_train_step(gen, dis, txs, cfg, PerceptualLoss())
     batch = make_batch()
-    new_state, metrics = step(state, batch)
+    # the train step donates its input state buffers — feed it a copy so
+    # the module-scoped fixture state stays alive for other tests
+    donated = jax.tree.map(jnp.array, state)
+    new_state, metrics = step(donated, batch)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, v)
     # both parameter sets moved
