@@ -118,7 +118,9 @@ def main(argv=None):
     perceptual = PerceptualLoss()
     step_fn = make_gan_train_step(gen, dis, txs, cfg, perceptual)
 
-    prep = jax.jit(lambda key, b: prepare_batch(key, b, d, True))
+    # fused Pallas rasterization on TPU; vmapped jnp path elsewhere
+    fused = jax.default_backend() == "tpu"
+    prep = jax.jit(lambda key, b: prepare_batch(key, b, d, True, fused))
 
     rng = np.random.default_rng(seed)
     prep_key = jax.random.PRNGKey(seed + 1)

@@ -214,14 +214,87 @@ def prepare_window(key: Optional[jax.Array], images: jax.Array,
 
 
 def prepare_batch(key: Optional[jax.Array], batch: Dict[str, jax.Array],
-                  cfg: RendererDataConfig, train: bool = True):
-    """vmap of :func:`prepare_window` over the batch axis."""
+                  cfg: RendererDataConfig, train: bool = True,
+                  fused_raster: bool = False):
+    """Batched window preparation.
+
+    ``fused_raster=False``: straight vmap of :func:`prepare_window`.
+    ``fused_raster=True``: geometric transforms stay vmapped per window,
+    but all B×F frames are rasterized in ONE call to the fused Pallas
+    kernel (``renderloom.ops.rasterize_pallas``) — the TPU-preferred
+    path (one kernel launch, outputs written once).
+    """
     B = batch["images"].shape[0]
+    if not fused_raster:
+        if key is not None:
+            keys = jax.random.split(key, B)
+            return jax.vmap(lambda k, i, d, p: prepare_window(
+                k, i, d, p, cfg, train))(keys, batch["images"],
+                                         batch["dain"], batch["poses"])
+        return jax.vmap(lambda i, d, p: prepare_window(
+            None, i, d, p, cfg, train))(batch["images"], batch["dain"],
+                                        batch["poses"])
+
+    from renderloom.ops.rasterize_pallas import rasterize_frames_fused
+
+    images = batch["images"]
+    dain = batch["dain"]
+    poses = batch["poses"]
+    F = images.shape[1]
+    H, W = cfg.model_height, cfg.model_width
     if key is not None:
-        keys = jax.random.split(key, B)
-        return jax.vmap(lambda k, i, d, p: prepare_window(
-            k, i, d, p, cfg, train))(keys, batch["images"], batch["dain"],
-                                     batch["poses"])
-    return jax.vmap(lambda i, d, p: prepare_window(
-        None, i, d, p, cfg, train))(batch["images"], batch["dain"],
-                                    batch["poses"])
+        k_geo, k_ras, k_blur = jax.random.split(key, 3)
+        geo_keys = jax.random.split(k_geo, B)
+    else:
+        k_ras = k_blur = None
+        geo_keys = None
+
+    def warp_window(k, imgs, dns, pose):
+        if k is not None:
+            k_aff, kb = jax.random.split(k)
+        else:
+            k_aff = kb = None
+        m = _window_affine(k_aff, imgs.shape[1], imgs.shape[2], cfg,
+                           train)
+        to_unit = lambda x: x.astype(jnp.float32) / 127.5 - 1.0
+        warp = jax.vmap(lambda im: img_ops.affine_warp(im, m, H, W))
+        imgs_t = warp(to_unit(imgs))
+        dns_t = warp(to_unit(dns))
+        coords = jax.vmap(
+            lambda p: img_ops.transform_keypoints(p[:, :2], m))(pose)
+        return imgs_t, dns_t, coords, pose[:, :, 2]
+
+    if geo_keys is not None:
+        images_t, dain_t, coords, conf = jax.vmap(warp_window)(
+            geo_keys, images, dain, poses)
+    else:
+        images_t, dain_t, coords, conf = jax.vmap(
+            lambda i, d, p: warp_window(None, i, d, p))(images, dain,
+                                                        poses)
+
+    ras = rasterize_frames_fused(
+        k_ras, coords.reshape(B * F, -1, 2), conf.reshape(B * F, -1),
+        H, W, gauss_sigma=cfg.gauss_sigma,
+        random_drop_prob=cfg.random_drop_prob,
+        random_blur_rate=cfg.random_blur_rate, thres=cfg.skeleton_thres,
+        foot_thres=cfg.foot_thres, train=train and key is not None)
+
+    skel = jnp.transpose(ras["skeleton"], (0, 2, 3, 1)) * 2.0 - 1.0
+    heat = jnp.transpose(ras["heatmaps"], (0, 2, 3, 1))
+    label = jnp.concatenate([skel, heat], axis=-1) \
+        .reshape(B, F, H, W, 22)
+    fg_mask = ras["mask"].reshape(B, F, H, W, 1)
+
+    back = dain_t
+    if train and k_blur is not None:
+        part = ras["part_mask"].reshape(B, F, H, W, 1)
+        blur = jax.vmap(jax.vmap(
+            lambda im: img_ops.gaussian_blur(im, 10.0)))(back)
+        back = blur * part + back * (1.0 - part)
+    # zero frame-0 backgrounds where the host shipped a zero dain row
+    zero0 = jnp.all(dain[:, 0] == 0, axis=(1, 2, 3))
+    back = back.at[:, 0].set(
+        jnp.where(zero0[:, None, None, None], 0.0, back[:, 0]))
+
+    return {"label": label, "image": images_t, "back": back,
+            "fg_mask": fg_mask}

@@ -42,10 +42,14 @@ def leaky(x):
 def instance_norm(x: jax.Array, eps: float = 1e-5,
                   scale: Optional[jax.Array] = None,
                   bias: Optional[jax.Array] = None) -> jax.Array:
-    """Per-(sample, channel) normalization over H, W.  NHWC."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    out = (x - mean) * jax.lax.rsqrt(var + eps)
+    """Per-(sample, channel) normalization over H, W.  NHWC.
+
+    Statistics accumulate in float32 even under bfloat16 compute (bf16
+    variance accumulation visibly degrades normalization quality)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    out = ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     if scale is not None:
         out = out * scale
     if bias is not None:

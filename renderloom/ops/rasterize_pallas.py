@@ -1,0 +1,235 @@
+"""Fused Pallas rasterization kernel for TPU.
+
+The jnp rasterizers (``renderloom.ops.rasterize``) materialize per-element
+distance fields — (E, H, W) intermediates for 19 gaussians, 18 skeleton
+capsules and 39 mask capsules — that each round-trip HBM unless XLA fuses
+them perfectly.  This kernel computes the entire per-frame label stack in
+one pass over pixel tiles held in VMEM: for each (row-tile × W) block it
+unrolls the element loops in registers and writes each output exactly
+once.  Grid = (frames, row-tiles); parameters (joint/edge tables) are tiny
+per-frame arrays.
+
+Semantics are bit-compatible with the jnp path (same formulas, same
+validity gating) — ``tests/test_rasterize_pallas.py`` asserts equality —
+so ``rasterize_frames_fused`` transparently falls back to the jnp
+implementation on non-TPU backends (pallas interpret mode is used in
+tests).
+
+Reference provenance is the same as ``rasterize.py``:
+``Pose_Guided_Neural_Rendering/datasets/HSM_auto_dataset.py:205-334`` and
+``utils/keypoint2img.py:47-148``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from renderloom.ops import rasterize as R
+
+J = 19
+E_SKEL = R.POSE_EDGES_19.shape[0]          # 18
+E_MASK = R.MASK_EDGES.shape[0]             # 20
+
+
+def _build_tables(coords, conf, sigma, keep_joints, keep_edges,
+                  part_keep, height, width, thres, foot_thres):
+    """Per-frame parameter tables for the kernel (all shapes static).
+
+    Returns
+      joints: (J, 4)  = x_floor, y_floor, inv_2s2, heat_valid
+      skel:   (E_SKEL, 8) = ax, ay, bx, by, valid, r, g, b
+      caps:   (J + E_MASK, 7) = ax, ay, bx, by, radius, valid, part
+    """
+    x, y = coords[:, 0], coords[:, 1]
+    inb = (x >= 0) & (y >= 0) & (x < width) & (y < height)
+
+    heat_valid = inb & (conf > thres)
+    if keep_joints is not None:
+        heat_valid = heat_valid & keep_joints
+    joints = jnp.stack([jnp.floor(x), jnp.floor(y),
+                        1.0 / (2.0 * sigma * sigma),
+                        heat_valid.astype(jnp.float32)], axis=1)
+
+    # skeleton edges: per-joint foot thresholds, un-floored coords
+    valid = R.valid_joints(coords, conf, height, width, thres, foot_thres)
+    safe = jnp.where(valid[:, None], coords, 0.0)
+    edges = jnp.asarray(R.POSE_EDGES_19)
+    a = safe[edges[:, 0]]
+    b = safe[edges[:, 1]]
+    e_ok = valid[edges[:, 0]] & valid[edges[:, 1]]
+    if keep_edges is not None:
+        e_ok = e_ok & keep_edges
+    colors = jnp.asarray(R.POSE_COLORS_19) / 255.0
+    skel = jnp.concatenate([a, b, e_ok.astype(jnp.float32)[:, None],
+                            colors], axis=1)
+
+    # mask capsules: joint disks (zero-length) + limb segments, floored
+    mvalid = inb & (conf > thres)
+    xi, yi = jnp.floor(x), jnp.floor(y)
+    pt = jnp.stack([xi, yi], axis=1)
+    disk = jnp.concatenate([
+        pt, pt, jnp.asarray(R.MASK_JOINT_RADII)[:, None],
+        mvalid.astype(jnp.float32)[:, None],
+        jnp.zeros((J, 1))], axis=1)
+    medges = jnp.asarray(R.MASK_EDGES)
+    ma = pt[medges[:, 0]]
+    mb = pt[medges[:, 1]]
+    m_ok = mvalid[medges[:, 0]] & mvalid[medges[:, 1]]
+    part = part_keep if part_keep is not None \
+        else jnp.zeros((E_MASK,), bool)
+    seg = jnp.concatenate([
+        ma, mb, jnp.asarray(R.MASK_EDGE_RADII)[:, None],
+        m_ok.astype(jnp.float32)[:, None],
+        part.astype(jnp.float32)[:, None]], axis=1)
+    caps = jnp.concatenate([disk, seg], axis=0)
+    return joints, skel, caps
+
+
+def _kernel(joints_ref, skel_ref, caps_ref, heat_ref, skimg_ref,
+            mask_ref, part_ref, *, tile_h: int, width: int,
+            brush: float):
+    h0 = (pl.program_id(1) * tile_h).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (tile_h, width), 0) + h0
+    xs = jax.lax.broadcasted_iota(jnp.float32, (tile_h, width), 1)
+
+    # ---- heatmaps: one channel per joint --------------------------------
+    for j in range(J):
+        x = joints_ref[0, j, 0]
+        y = joints_ref[0, j, 1]
+        inv2s2 = joints_ref[0, j, 2]
+        valid = joints_ref[0, j, 3]
+        d2 = (xs - x) ** 2 + (ys - y) ** 2
+        heat_ref[0, j] = jnp.exp(-d2 * inv2s2) * valid
+
+    def seg_dist(ax, ay, bx, by):
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        t = ((xs - ax) * dx + (ys - ay) * dy) / jnp.maximum(len2, 1e-6)
+        t = jnp.clip(t, 0.0, 1.0)
+        cx, cy = ax + t * dx, ay + t * dy
+        return jnp.sqrt((xs - cx) ** 2 + (ys - cy) ** 2)
+
+    # ---- skeleton: color-averaged capsule coverage ----------------------
+    zeros = jnp.zeros((tile_h, width), jnp.float32)
+    racc, gacc, bacc, cnt = zeros, zeros, zeros, zeros
+    for e in range(E_SKEL):
+        ax, ay = skel_ref[0, e, 0], skel_ref[0, e, 1]
+        bx, by = skel_ref[0, e, 2], skel_ref[0, e, 3]
+        valid = skel_ref[0, e, 4]
+        d = seg_dist(ax, ay, bx, by)
+        da = jnp.sqrt((xs - ax) ** 2 + (ys - ay) ** 2)
+        db = jnp.sqrt((xs - bx) ** 2 + (ys - by) ** 2)
+        cover = jnp.where(
+            (d <= brush) | (da <= 2 * brush) | (db <= 2 * brush),
+            valid, 0.0)
+        racc = racc + cover * skel_ref[0, e, 5]
+        gacc = gacc + cover * skel_ref[0, e, 6]
+        bacc = bacc + cover * skel_ref[0, e, 7]
+        cnt = cnt + cover
+    denom = jnp.maximum(cnt, 1.0)
+    skimg_ref[0, 0] = racc / denom
+    skimg_ref[0, 1] = gacc / denom
+    skimg_ref[0, 2] = bacc / denom
+
+    # ---- human masks: union of capsules ---------------------------------
+    macc, pacc = zeros, zeros
+    for c in range(J + E_MASK):
+        ax, ay = caps_ref[0, c, 0], caps_ref[0, c, 1]
+        bx, by = caps_ref[0, c, 2], caps_ref[0, c, 3]
+        radius = caps_ref[0, c, 4]
+        valid = caps_ref[0, c, 5]
+        is_part = caps_ref[0, c, 6]
+        d = seg_dist(ax, ay, bx, by)
+        cover = jnp.where(d <= radius, valid, 0.0)
+        macc = jnp.maximum(macc, cover)
+        pacc = jnp.maximum(pacc, cover * is_part)
+    mask_ref[0] = macc
+    part_ref[0] = pacc
+
+
+def rasterize_frames_fused(key: Optional[jax.Array], coords: jax.Array,
+                           conf: jax.Array, height: int, width: int,
+                           gauss_sigma: float = 5.0,
+                           random_drop_prob: float = 0.02,
+                           random_blur_rate: float = 0.06,
+                           thres: float = 0.001,
+                           foot_thres: float = 0.001,
+                           train: bool = True, tile_h: int = 64,
+                           interpret: bool = False):
+    """Pallas-fused equivalent of :func:`rasterize.rasterize_frames`.
+
+    coords (F, J, 2), conf (F, J) → dict of
+    heatmaps (F,19,H,W) f32, skeleton (F,3,H,W) f32,
+    mask/part_mask (F,H,W) f32 (0/1).
+    """
+    F = coords.shape[0]
+    if height % tile_h != 0:
+        tile_h = height          # fall back to one tile per frame
+    # compiled pallas needs a TPU; elsewhere run the interpreter
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    def tables_one(k, c, cf):
+        if train and k is not None:
+            k_sig, k_drop, k_edge, k_blur = jax.random.split(k, 4)
+            sigma = jax.random.randint(
+                k_sig, (J,), int(gauss_sigma) - 1,
+                int(gauss_sigma) + 1).astype(jnp.float32)
+            keep_j = jax.random.uniform(k_drop, (J,)) > random_drop_prob
+            keep_e = jax.random.uniform(k_edge, (E_SKEL,)) \
+                > random_drop_prob
+            part = jax.random.uniform(k_blur, (E_MASK,)) \
+                < random_blur_rate
+        else:
+            sigma = jnp.full((J,), gauss_sigma, jnp.float32)
+            keep_j = keep_e = part = None
+        return _build_tables(c, cf, sigma, keep_j, keep_e, part, height,
+                             width, thres, foot_thres)
+
+    if train and key is not None:
+        keys = jax.random.split(key, F)
+        joints, skel, caps = jax.vmap(tables_one)(keys, coords, conf)
+    else:
+        joints, skel, caps = jax.vmap(
+            lambda c, cf: tables_one(None, c, cf))(coords, conf)
+
+    n_tiles = height // tile_h
+    grid = (F, n_tiles)
+    param_spec = lambda rows, cols: pl.BlockSpec(
+        (1, rows, cols), lambda f, t: (f, 0, 0),
+        memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((1, J, tile_h, width), lambda f, t: (f, 0, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, tile_h, width), lambda f, t: (f, 0, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_h, width), lambda f, t: (f, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_h, width), lambda f, t: (f, t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((F, J, height, width), jnp.float32),
+        jax.ShapeDtypeStruct((F, 3, height, width), jnp.float32),
+        jax.ShapeDtypeStruct((F, height, width), jnp.float32),
+        jax.ShapeDtypeStruct((F, height, width), jnp.float32),
+    ]
+    kernel = functools.partial(_kernel, tile_h=tile_h, width=width,
+                               brush=R.SKELETON_BRUSH)
+    heat, skimg, mask, part = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[param_spec(J, 4), param_spec(E_SKEL, 8),
+                  param_spec(J + E_MASK, 7)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(joints, skel, caps)
+    return {"heatmaps": heat, "skeleton": skimg, "mask": mask,
+            "part_mask": part}

@@ -74,8 +74,10 @@ def create_gan_state(key: jax.Array, cfg: RendererConfig,
     H = height or cfg.data.model_height
     W = width or cfg.data.model_width
     k_g, k_d, k_train = jax.random.split(key, 3)
-    gen = Generator(cfg.gen)
-    dis = DiscriminatorSet(cfg.dis)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+        else jnp.float32
+    gen = Generator(cfg.gen, dtype)
+    dis = DiscriminatorSet(cfg.dis, dtype)
 
     label = jnp.zeros((1, H, W, cfg.gen.input_label_nc))
     img = jnp.zeros((1, H, W, cfg.gen.input_image_nc))
