@@ -94,25 +94,36 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
     motion = rng.uniform(-0.4, 0.4, (19, 2, K)).astype(np.float64)
     conf = np.full((19, 1, K), 0.9)
     keys_np = rng.uniform(0, 1, (K, H, W, 3)).astype(np.float32)
+    from renderloom.eval.motion_infer import bucket_length
+    interp_pad = bucket_length(L, rate)
 
-    from renderloom.data.hsm import prepare_window
+    from renderloom.data.hsm import prepare_batch
+
+    keys_dev = jnp.asarray(keys_np)
+    is_key = jnp.asarray(np.arange(L) % rate == 0)
+    fused_raster = jax.default_backend() == "tpu"
+
+    @jax.jit
+    def prep_fn(pred, dense_conf, backs):
+        poses = jnp.concatenate([pred * 256 + 256, dense_conf], axis=1)
+        poses = jnp.transpose(poses, (2, 0, 1)).astype(jnp.float32)
+        images = jnp.zeros((L, H, W, 3), jnp.float32)
+        images = images.at[::rate].set(keys_dev * 255.0)
+        prep = prepare_batch(None, {"images": images[None],
+                                    "dain": backs[None] * 255.0,
+                                    "poses": poses[None]},
+                             rcfg.data, train=False,
+                             fused_raster=fused_raster)
+        return {"label": prep["label"], "back": prep["back"],
+                "key_img": prep["image"], "is_key": is_key}
 
     def run_once():
-        pred, _, dense_conf = interp.interpolate_motion(motion, conf, rate)
-        backs = upsample_background(jnp.asarray(keys_np), rate)
-        poses = np.concatenate(
-            [pred * 256 + 256,
-             np.repeat(dense_conf, 1, axis=1)], axis=1
-        ).transpose(2, 0, 1).astype(np.float32)       # (L, 19, 3)
-        images = np.zeros((L, H, W, 3), np.float32)
-        images[::rate] = keys_np * 255.0
-        prep = prepare_window(None, jnp.asarray(images),
-                              jnp.asarray(backs * 255.0),
-                              jnp.asarray(poses), rcfg.data, train=False)
-        batch = {"label": prep["label"][None],
-                 "back": prep["back"][None],
-                 "key_img": prep["image"][None],
-                 "is_key": jnp.asarray(np.arange(L) % rate == 0)}
+        pred, _, dense_conf = interp._run(
+            interp.params, jnp.asarray(motion, jnp.float32),
+            jnp.asarray(conf, jnp.float32), rate, int(np.log2(rate)),
+            interp_pad)
+        backs = upsample_background(keys_dev, rate, levels=3, iters=2)
+        batch = prep_fn(pred[:, :, :L], dense_conf, backs)
         fused, _ = rollout(r_state.params_g, r_state.stats_g, batch)
         return fused
 

@@ -44,6 +44,35 @@ class MetricLogger:
         parts = [f"{k}={float(v):.5f}" for k, v in scalars.items()]
         print(f"[{header}step {step}] " + " ".join(parts), flush=True)
 
+    def log_images(self, step: int, images: Mapping[str, "object"],
+                   prefix: str = ""):
+        """Image summaries (the renderer-only TB images of
+        ``Pose_Guided_Neural_Rendering/utils/record_summary.py:17-27``):
+        written as PNGs under ``<out>/images/`` and to tensorboard when
+        available.  Accepts (H, W, C) or (H, W) arrays in [0,1]/[-1,1].
+        """
+        import numpy as np
+
+        img_dir = os.path.join(os.path.dirname(self.path), "images")
+        os.makedirs(img_dir, exist_ok=True)
+        for name, img in images.items():
+            arr = np.asarray(img, dtype=np.float32)
+            if arr.ndim == 2:
+                arr = arr[..., None].repeat(3, axis=-1)
+            if arr.min() < 0:
+                arr = arr * 0.5 + 0.5
+            arr8 = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+            try:
+                from PIL import Image
+                safe = name.replace("/", "_")
+                Image.fromarray(arr8).save(os.path.join(
+                    img_dir, f"{safe}_{int(step):08d}.png"))
+            except Exception:
+                pass
+            if self._tb is not None:
+                self._tb.add_image(f"{prefix}{name}",
+                                   arr8.transpose(2, 0, 1), int(step))
+
 
 def snapshot_source(out_dir: str, package_root: str):
     """Zip the package source into the run dir for provenance."""

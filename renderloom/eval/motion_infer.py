@@ -6,17 +6,20 @@ Rebuild of ``Evaluator.interpolate_openpose``
 at low FPS → ``rate×`` upsampled pose JSONs (model prediction and linear
 baseline side by side).
 
-TPU-native differences: arbitrary clip lengths are padded to a bucketed
-static length (multiples of ``rate × 8`` plus one) so XLA compiles a
-handful of shapes instead of one per clip; the valid prefix is masked and
-the sine PE is normalized by the true length, which keeps the math equal
-to the reference's unpadded run.
+TPU-native structure: the whole per-clip computation — repeated frame
+doubling, localization/normalization, mask construction, transformer
+forward, denormalization and re-globalization — is ONE jitted function
+(the reference runs ~10 separate numpy/torch stages per clip;
+single-dispatch matters doubly here because the tunneled-TPU dispatch
+latency dwarfs the compute).  Arbitrary clip lengths are padded to a
+bucketed static length (multiples of ``rate × 8`` plus one) so XLA
+compiles a handful of shapes, with masks + true-length PE keeping the
+math equal to the reference's unpadded run.
 """
 
 from __future__ import annotations
 
 import math
-import os
 from functools import partial
 from typing import Tuple
 
@@ -43,64 +46,64 @@ class MotionInterpolator:
         self.model = model
         self.params = params
         self.cfg = cfg
-        self.mean = np.asarray(mean, dtype=np.float32)
-        self.std = np.asarray(std, dtype=np.float32)
+        self.mean = jnp.asarray(mean, dtype=jnp.float32)
+        self.std = jnp.asarray(std, dtype=jnp.float32)
 
-    @partial(jax.jit, static_argnums=(0, 5))
-    def _infer(self, params, inputs, interp, enc_mask, rate: int,
-               pad_mask, lengths):
+    @partial(jax.jit, static_argnums=(0, 4, 5, 6))
+    def _run(self, params, motion, conf, rate: int, times: int,
+             pad_to: int):
+        """Fused: keyframes (19,2,K) → (pred, linear) global (19,2,L_pad)
+        plus dense confidence; one device dispatch per clip."""
+        K = motion.shape[-1]
+        dense, dense_mask, dense_conf = pose_ops.interpolate_frames(
+            motion, jnp.zeros((K,), bool), conf, times)
+        L = dense.shape[-1]
+
+        padded = jnp.zeros(dense.shape[:-1] + (pad_to,), jnp.float32)
+        padded = padded.at[..., :L].set(dense)
+        pad_mask = jnp.arange(pad_to) >= L
+
+        normed = pose_ops.normalize(
+            pose_ops.localize(padded, pose_ops.ROOT_2D), self.mean,
+            self.std)
+        enc_mask = pose_ops.encoder_mask_from_pad(pad_mask, rate)
+        inputs = normed * (~enc_mask)[None, None, :]
+
+        C = inputs.shape[0] * inputs.shape[1]
         pred, _ = self.model.apply(
             {"params": params},
-            jnp.transpose(inputs, (0, 2, 1)), enc_mask,
-            jnp.transpose(interp, (0, 2, 1)), pad_mask, rate,
-            deterministic=True, lengths=lengths)
-        return jnp.transpose(pred, (0, 2, 1))
+            jnp.transpose(inputs.reshape(C, -1)[None], (0, 2, 1)),
+            enc_mask[None],
+            jnp.transpose(normed.reshape(C, -1)[None], (0, 2, 1)),
+            pad_mask[None], rate, deterministic=True,
+            lengths=jnp.asarray([L]))
+        pred = jnp.transpose(pred, (0, 2, 1))[0]           # (C, L_pad)
+
+        def post(flat):
+            data = flat.reshape(19, 2, -1)
+            data = pose_ops.denormalize(data, self.mean, self.std)
+            return pose_ops.globalize(data, pose_ops.ROOT_2D)
+
+        return post(pred), post(normed.reshape(C, -1)), dense_conf
 
     def interpolate_motion(self, motion: np.ndarray, conf: np.ndarray,
                            rate: int
                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(19,2,L0) keyframe motion → (pred, linear, conf) at full rate.
+        """(19,2,K) keyframe motion → (pred, linear, conf) at full rate.
 
         Mirrors ``get_openpose_data`` (AMASS_dataset.py:240-264): repeated
         frame doubling builds the dense linear sequence, the encoder sees
         every ``rate``-th frame, the decoder refines the rest.
         """
         times = int(np.log2(rate))
-        dense, dense_mask, dense_conf = pose_ops.interpolate_frames(
-            jnp.asarray(motion), jnp.zeros(motion.shape[-1], bool),
-            jnp.asarray(conf), times)
-        dense = np.asarray(dense)
-        dense_conf = np.asarray(dense_conf)
-        L = dense.shape[-1]
-
-        L_pad = bucket_length(L, rate)
-        padded = np.zeros((dense.shape[0], dense.shape[1], L_pad),
-                          dtype=np.float32)
-        padded[:, :, :L] = dense
-        pad_mask = np.arange(L_pad) >= L
-
-        normed = pose_ops.normalize(
-            pose_ops.localize(jnp.asarray(padded), pose_ops.ROOT_2D),
-            jnp.asarray(self.mean), jnp.asarray(self.std))
-        enc_mask = pose_ops.encoder_mask_from_pad(
-            jnp.asarray(pad_mask), rate)
-        inputs = normed * (~enc_mask)[None, None, :]
-
-        C = inputs.shape[0] * inputs.shape[1]
-        pred = self._infer(self.params,
-                           inputs.reshape(C, -1)[None],
-                           normed.reshape(C, -1)[None],
-                           enc_mask[None], rate, jnp.asarray(pad_mask)[None],
-                           jnp.asarray([L]))
-
-        def post(flat):
-            data = np.asarray(flat, dtype=np.float64).reshape(19, 2, -1)
-            data = data[:, :, :L]
-            data = data * self.std[:, :, None] + self.mean[:, :, None]
-            return np.asarray(pose_ops.globalize(jnp.asarray(data),
-                                                 pose_ops.ROOT_2D))
-
-        return post(pred[0]), post(normed.reshape(C, -1)), dense_conf
+        L = (motion.shape[-1] - 1) * (2 ** times) + 1
+        pad_to = bucket_length(L, rate)
+        pred, linear, dense_conf = self._run(
+            self.params, jnp.asarray(motion, jnp.float32),
+            jnp.asarray(conf, jnp.float32), rate, times, pad_to)
+        return (np.asarray(pred, np.float64)[:, :, :L],
+                np.asarray(linear, np.float64)[:, :, :L],
+                np.asarray(dense_conf))
 
     def interpolate_openpose(self, json_dir: str, rate: int,
                              pred_dir: str, linear_dir: str,

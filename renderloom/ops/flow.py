@@ -65,16 +65,17 @@ def _box_filter(x: jax.Array, radius: int) -> jax.Array:
 
 
 def backward_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
-    """Sample ``img`` (H,W,C) at ``x + flow`` (flow (H,W,2) in xy)."""
+    """Sample ``img`` (H,W,C) at ``x + flow`` (flow (H,W,2) in xy);
+    edge-clamped (the reference DAIN stage replication-pads its borders,
+    DAIN_test.py:132-153)."""
+    from renderloom.ops.image import bilinear_sample
+
     H, W, C = img.shape
     ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                           jnp.arange(W, dtype=jnp.float32), indexing="ij")
     sx = xs + flow[:, :, 0]
     sy = ys + flow[:, :, 1]
-    return jnp.stack([
-        jax.scipy.ndimage.map_coordinates(img[:, :, c], [sy, sx], order=1,
-                                          mode="nearest")
-        for c in range(C)], axis=-1)
+    return bilinear_sample(img, sx, sy, mode="nearest")
 
 
 def _gray(img: jax.Array) -> jax.Array:
@@ -144,18 +145,20 @@ def interpolate_pair(img0: jax.Array, img1: jax.Array, t: jax.Array,
 
     Bidirectional: warp img0 forward by ``t`` of flow0→1 and img1
     backward by ``1−t`` of flow1→0, blend by (1−t, t) modulated by
-    brightness-constancy error of each warp.
+    brightness-constancy error of each warp.  The two flow directions
+    run as one vmapped estimate (the warp gathers are the TPU cost —
+    batching them halves the serial gather chain).
     """
-    f01 = estimate_flow(img0, img1, levels, iters, radius)
-    f10 = estimate_flow(img1, img0, levels, iters, radius)
+    f01, f10 = jax.vmap(
+        lambda a, b: estimate_flow(a, b, levels, iters, radius)
+    )(jnp.stack([img0, img1]), jnp.stack([img1, img0]))
 
-    w0 = backward_warp(img0, t * f10)          # pull from img0 toward t
-    w1 = backward_warp(img1, (1.0 - t) * f01)  # pull from img1 toward t
+    w0, w1, c1, c0 = jax.vmap(backward_warp)(
+        jnp.stack([img0, img1, img1, img0]),
+        jnp.stack([t * f10, (1.0 - t) * f01, f01, f10]))
 
-    e0 = jnp.mean(jnp.abs(backward_warp(img1, f01) - img0), axis=-1,
-                  keepdims=True)
-    e1 = jnp.mean(jnp.abs(backward_warp(img0, f10) - img1), axis=-1,
-                  keepdims=True)
+    e0 = jnp.mean(jnp.abs(c1 - img0), axis=-1, keepdims=True)
+    e1 = jnp.mean(jnp.abs(c0 - img1), axis=-1, keepdims=True)
     a0 = (1.0 - t) / (1.0 + e0)
     a1 = t / (1.0 + e1)
     return (a0 * w0 + a1 * w1) / (a0 + a1)

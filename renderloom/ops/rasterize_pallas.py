@@ -95,9 +95,12 @@ def _build_tables(coords, conf, sigma, keep_joints, keep_edges,
 def _kernel(joints_ref, skel_ref, caps_ref, heat_ref, skimg_ref,
             mask_ref, part_ref, *, tile_h: int, width: int,
             brush: float):
+    # TPU iota must be integer-typed; cast after (Mosaic rejects f32 iota)
     h0 = (pl.program_id(1) * tile_h).astype(jnp.float32)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (tile_h, width), 0) + h0
-    xs = jax.lax.broadcasted_iota(jnp.float32, (tile_h, width), 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 0
+                                  ).astype(jnp.float32) + h0
+    xs = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 1
+                                  ).astype(jnp.float32)
 
     # ---- heatmaps: one channel per joint --------------------------------
     for j in range(J):
