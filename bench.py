@@ -26,6 +26,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache — first compiles through the
+    tunneled-TPU remote compiler take minutes; cached reruns are free."""
+    import jax
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR",
+                               os.path.expanduser("~/.cache/renderloom_xla"))
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def bench_motion_train(steps: int = 20, warmup: int = 3) -> dict:
     """Full motion-transformer train-step throughput (seq/s/chip)."""
     import jax
@@ -139,10 +154,56 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
             "vs_baseline": 1.0}
 
 
+def bench_gan_train(steps: int = 4, warmup: int = 1) -> dict:
+    """Full-scale renderer GAN train-step throughput (windows/s/chip):
+    batch 4 × 4-frame windows at 480×320, per-frame D/G updates
+    (the reference's expensive workload, configs/HSM.yaml)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from renderloom.core.config import RendererConfig
+    from renderloom.models.perceptual import PerceptualLoss
+    from renderloom.parallel import make_mesh, replicate, shard_batch
+    from renderloom.train.gan import create_gan_state, make_gan_train_step
+
+    cfg = RendererConfig()
+    H, W = cfg.data.model_height, cfg.data.model_width
+    mesh = make_mesh()
+    gen, dis, txs, state = create_gan_state(jax.random.PRNGKey(0), cfg,
+                                            height=H, width=W)
+    state = replicate(mesh, state)
+    step = make_gan_train_step(gen, dis, txs, cfg, PerceptualLoss())
+
+    B, L = cfg.batch_size, cfg.data.max_frames
+    rng = np.random.default_rng(0)
+    batch = shard_batch(mesh, {
+        "label": rng.uniform(-1, 1, (B, L, H, W, 22)).astype(np.float32),
+        "image": rng.uniform(-1, 1, (B, L, H, W, 3)).astype(np.float32),
+        "back": rng.uniform(-1, 1, (B, L, H, W, 3)).astype(np.float32),
+        "fg_mask": (rng.uniform(0, 1, (B, L, H, W, 1)) > 0.5
+                    ).astype(np.float32),
+    })
+    for _ in range(warmup):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics)
+    tic = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics)
+    wall = time.perf_counter() - tic
+    return {"metric": "gan_train_windows_per_sec",
+            "value": round(steps * B / wall, 3), "unit": "window/s",
+            "vs_baseline": 1.0}
+
+
 def main():
+    _enable_compile_cache()
     which = os.environ.get("BENCH_METRIC", "e2e")
     if which == "motion_train":
         result = bench_motion_train()
+    elif which == "gan_train":
+        result = bench_gan_train()
     else:
         result = bench_e2e()
     print(json.dumps(result))

@@ -64,6 +64,28 @@ def cmd_warp(args):
         print(f"{clip}: {arr.shape[0]} background frames")
 
 
+def cmd_alphapose(args):
+    """Emit the shell driver for the external AlphaPose detector
+    (``HumanSloMo_Dataset/scripts/gen_run_alphapose.py:11-21`` —
+    renderloom keeps pose extraction external, SURVEY.md §2.4)."""
+    clips = sorted(
+        d for d in os.listdir(args.frames)
+        if os.path.isdir(os.path.join(args.frames, d)))
+    with open(args.out, "w") as f:
+        for clip in clips:
+            indir = os.path.join(args.frames, clip)
+            outdir = os.path.join(args.poses, clip)
+            f.write(
+                "python3 scripts/demo_inference.py "
+                "--cfg configs/halpe_136/resnet/"
+                "256x192_res50_lr1e-3_2x-regression.yaml "
+                "--checkpoint pretrained_models/halpe136_fast_res50_"
+                "256x192.pth "
+                f"--indir {indir} --outdir {outdir} "
+                "--format open --pose_track\n")
+    print(f"wrote {len(clips)} AlphaPose commands to {args.out}")
+
+
 def cmd_pack_hsm(args):
     from renderloom.data.builders import pack_hsm_h5
     counts = pack_hsm_h5(args.root, args.out)
@@ -103,6 +125,12 @@ def main(argv=None):
     w.add_argument("--mode", choices=("train", "test"), default="train")
     w.add_argument("--rate", type=int, default=4)
     w.set_defaults(fn=cmd_warp)
+
+    ap = sub.add_parser("alphapose")
+    ap.add_argument("--frames", required=True)
+    ap.add_argument("--poses", required=True)
+    ap.add_argument("--out", default="run_alphapose.sh")
+    ap.set_defaults(fn=cmd_alphapose)
 
     h = sub.add_parser("pack-hsm")
     h.add_argument("--root", required=True)

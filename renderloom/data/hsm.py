@@ -38,6 +38,15 @@ def decode_image(buf: np.ndarray) -> np.ndarray:
     return np.asarray(Image.open(io.BytesIO(buf.tobytes())).convert("RGB"))
 
 
+def decode_images(bufs: Sequence[np.ndarray]) -> np.ndarray:
+    """Decode same-sized PNG/JPEG byte buffers to (n, H, W, 3) uint8 with
+    the multithreaded C++ decoder (renderloom/native/decoder.cpp);
+    falls back to PIL when the extension can't build."""
+    from renderloom import native
+    w, h = native.image_dims(bufs[0].tobytes())
+    return native.batch_decode(bufs, h, w)
+
+
 @DATASETS.register("hsm")
 class HsmReader:
     """Window sampler over the HumanSlomo h5 (train or test phase)."""
@@ -88,18 +97,18 @@ class HsmReader:
         key_img = "train_images" if self.phase == "train" else "gt_images"
         key_dain = "train_dain" if self.phase == "train" else "gt_dain"
         key_pose = "train_poses" if self.phase == "train" else "gt_poses"
-        imgs, dains = [], []
-        for i in range(self.max_frames):
-            idx = start + i
-            imgs.append(decode_image(np.asarray(grp[key_img][idx])))
-            if idx == 0:
-                dains.append(np.zeros_like(imgs[-1]))
-            else:
-                dains.append(decode_image(np.asarray(grp[key_dain][idx - 1])))
+        idxs = list(range(start, start + self.max_frames))
+        bufs = [np.asarray(grp[key_img][i]) for i in idxs]
+        dain_idxs = [i - 1 for i in idxs if i > 0]
+        bufs += [np.asarray(grp[key_dain][i]) for i in dain_idxs]
+        decoded = decode_images(bufs)  # one parallel native decode
+        imgs = decoded[:len(idxs)]
+        dain_decoded = decoded[len(idxs):]
+        dains = np.zeros_like(imgs)
+        dains[len(idxs) - len(dain_idxs):] = dain_decoded
         poses = np.asarray(grp[key_pose][start:start + self.max_frames],
                            dtype=np.float32)
-        return {"images": np.stack(imgs), "dain": np.stack(dains),
-                "poses": poses}
+        return {"images": imgs, "dain": dains, "poses": poses}
 
     def read_test_frame(self, vid: str, index: int) -> Dict[str, np.ndarray]:
         """Eval fetch (HSM_auto_dataset.py:361-399): gt image, same-index

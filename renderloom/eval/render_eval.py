@@ -38,13 +38,20 @@ from renderloom.train.gan import make_rollout
 
 def evaluate_h5(gen, state, cfg: RendererConfig, reader: HsmReader,
                 max_keyframes: Optional[int] = None,
-                chunk: int = 16) -> Dict[str, float]:
-    """Training-time eval over the h5 test split (evaluator.py:48-147)."""
+                chunk: int = 16, perceptual=None) -> Dict[str, float]:
+    """Training-time eval over the h5 test split (evaluator.py:48-147).
+
+    Pass a :class:`~renderloom.models.perceptual.PerceptualLoss` as
+    ``perceptual`` to additionally report uncalibrated LPIPS-vgg
+    (``*_LPIPS``, the BASELINE.md delta metric)."""
     rollout = make_rollout(gen, cfg)
     sample_rate = 2
     d = cfg.data
     totals = {"DAIN_PSNR": 0.0, "DAIN_SSIM": 0.0, "OURS_PSNR": 0.0,
               "OURS_SSIM": 0.0}
+    if perceptual is not None:
+        totals.update({"DAIN_LPIPS": 0.0, "OURS_LPIPS": 0.0})
+        lpips_fn = jax.jit(perceptual.lpips)
     cnt = 0
 
     for vid in reader.video_list:
@@ -80,6 +87,11 @@ def evaluate_h5(gen, state, cfg: RendererConfig, reader: HsmReader,
             ps, ss = masked_metrics(prep["back"][i][None], gt, fg)
             totals["DAIN_PSNR"] += float(ps)
             totals["DAIN_SSIM"] += float(ss)
+            if perceptual is not None:
+                totals["OURS_LPIPS"] += float(
+                    lpips_fn(fused[0, i][None] * fg, gt * fg)[0])
+                totals["DAIN_LPIPS"] += float(
+                    lpips_fn(prep["back"][i][None] * fg, gt * fg)[0])
             cnt += 1
 
     return {k: v / max(cnt, 1) for k, v in totals.items()}

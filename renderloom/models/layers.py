@@ -233,6 +233,115 @@ class ResBlockCNACN(nn.Module):
         return s + h
 
 
+class NonLocalBlock(nn.Module):
+    """SAGAN self-attention block (non_local.py:12-78; available in the
+    reference's layer library, unused by the shipped configs).
+
+    θ/φ/g 1×1 convs (C/8, C/8, C/2), 2×2 max-pool on φ and g, softmax
+    attention, 1×1 out-projection back to C, residual with a learnable
+    scale initialized to 0.  One ``jnp.einsum`` per product so XLA maps
+    the attention matmuls onto the MXU."""
+
+    spectral: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        B, H, W, C = x.shape
+        theta = SNConv(C // 8, 1, 1, self.spectral, use_bias=False,
+                       dtype=self.dtype, name="theta")(x, update_stats)
+        phi = SNConv(C // 8, 1, 1, self.spectral, use_bias=False,
+                     dtype=self.dtype, name="phi")(x, update_stats)
+        g = SNConv(C // 2, 1, 1, self.spectral, use_bias=False,
+                   dtype=self.dtype, name="g")(x, update_stats)
+        phi = nn.max_pool(phi, (2, 2), strides=(2, 2))
+        g = nn.max_pool(g, (2, 2), strides=(2, 2))
+        q = theta.reshape(B, H * W, C // 8)
+        k = phi.reshape(B, -1, C // 8)
+        v = g.reshape(B, -1, C // 2)
+        attn = jax.nn.softmax(jnp.einsum("bqc,bkc->bqk", q, k), axis=-1)
+        out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(B, H, W, C // 2)
+        out = SNConv(C, 1, 1, self.spectral, use_bias=False,
+                     dtype=self.dtype, name="out")(out, update_stats)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,))
+        return x + gamma * out
+
+
+class PartialConv(nn.Module):
+    """Mask-normalized convolution (NVIDIA partial conv for inpainting;
+    conv.py:593-803 in the reference's layer library, unused by the
+    shipped configs).
+
+    ``__call__(x, mask)`` → ``(out, new_mask)``: the conv sees only valid
+    pixels, outputs are rescaled by (window size / valid count), and the
+    mask dilates to anywhere the window touched a valid pixel.  The mask
+    path is a parameter-free ones-kernel conv, fused by XLA."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        k, s = self.kernel, self.stride
+        conv = nn.Conv(self.features, (k, k), strides=(s, s),
+                       padding="SAME", use_bias=False, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="conv")
+        raw = conv(x * mask)
+        ones_kernel = jnp.ones((k, k, 1, 1), raw.dtype)
+        valid = jax.lax.conv_general_dilated(
+            mask.astype(raw.dtype), ones_kernel, (s, s), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        ratio = jnp.where(valid > 0, (k * k) / jnp.maximum(valid, 1e-8),
+                          0.0)
+        out = raw * ratio
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            out = jnp.where(valid > 0, out + bias, 0.0)
+        return out, (valid > 0).astype(mask.dtype)
+
+
+def hyper_conv2d(x: jax.Array, kernel: jax.Array,
+                 bias: jax.Array | None = None,
+                 stride: int = 1) -> jax.Array:
+    """Per-sample convolution with externally supplied weights (the
+    reference's ``HyperConv2d``, conv.py:511-590 — available in its layer
+    library, unused by the shipped configs).
+
+    ``x``: (B, H, W, Cin); ``kernel``: (B, kh, kw, Cin, Cout) — one
+    filter bank per sample; ``bias``: (B, Cout) or None.  Implemented as
+    ``vmap`` over the batch of a standard XLA conv, which the compiler
+    lowers to one batched MXU conv."""
+
+    def one(xi, ki):
+        return jax.lax.conv_general_dilated(
+            xi[None], ki, (stride, stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+
+    out = jax.vmap(one)(x, kernel)
+    if bias is not None:
+        out = out + bias[:, None, None, :]
+    return out
+
+
+def weight_demodulated_conv2d(x: jax.Array, kernel: jax.Array,
+                              style: jax.Array, eps: float = 1e-8,
+                              stride: int = 1) -> jax.Array:
+    """StyleGAN2 weight demodulation (the reference's
+    ``WeightDemodulation``, weight_norm.py:14-68 — available, unused by
+    the shipped configs).
+
+    ``kernel``: (kh, kw, Cin, Cout) shared weights; ``style``: (B, Cin)
+    per-sample modulation.  w' = w·style, demodulated per output channel
+    by 1/√Σw'², applied as a per-sample conv via :func:`hyper_conv2d`."""
+    w = kernel[None] * style[:, None, None, :, None]     # (B,kh,kw,Ci,Co)
+    denom = jnp.sqrt(jnp.sum(w ** 2, axis=(1, 2, 3), keepdims=True) + eps)
+    return hyper_conv2d(x, w / denom, stride=stride)
+
+
 def avg_pool_3x3s2(x: jax.Array) -> jax.Array:
     """torch ``AvgPool2d(3, stride=2, padding=1)`` with
     count_include_pad=True (generator.py:127).  NHWC."""

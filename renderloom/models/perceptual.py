@@ -137,3 +137,28 @@ class PerceptualLoss:
                            - jax.lax.stop_gradient(f_tgt[name]))
             loss = loss + w * jnp.mean(diff)
         return loss
+
+    def lpips(self, pred: jax.Array, target: jax.Array) -> jax.Array:
+        """LPIPS-style perceptual distance (Zhang et al. 2018): squared
+        difference of channel-unit-normalized VGG features, averaged
+        spatially, summed over layers.  Uniform (uncalibrated) linear
+        weights — the learned 1×1 calibration isn't shipped with
+        torchvision and can't be fetched here, so this is the standard
+        "lpips-vgg (uncal.)" variant.  Returns one scalar per batch
+        element; reported as LPIPS-delta-vs-reference in BASELINE.md."""
+        f_pred = self.model.apply(self.variables, self.renormalize(pred))
+        f_tgt = self.model.apply(self.variables, self.renormalize(target))
+        dist = 0.0
+        for name in self.layers:
+            a = _unit_normalize(f_pred[name])
+            b = _unit_normalize(f_tgt[name])
+            # mean over H, W; sum over channels (LPIPS convention with
+            # uniform weights scales as mean over C)
+            dist = dist + jnp.mean((a - b) ** 2, axis=(1, 2, 3))
+        return dist / len(self.layers)
+
+
+def _unit_normalize(feat: jax.Array, eps: float = 1e-10) -> jax.Array:
+    """Scale each pixel's channel vector to unit L2 norm (NHWC)."""
+    norm = jnp.sqrt(jnp.sum(feat ** 2, axis=-1, keepdims=True))
+    return feat / (norm + eps)

@@ -7,4 +7,5 @@ from renderloom.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
     replicate,
+    shard_params_tp,
 )

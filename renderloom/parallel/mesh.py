@@ -58,3 +58,28 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     """Device-put a pytree fully replicated over the mesh."""
     sharding = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_params_tp(mesh: Mesh, tree: Any,
+                    min_elems: int = 1 << 14) -> Any:
+    """Tensor-shard a parameter pytree over the ``model`` axis.
+
+    Conv kernels (HWIO) and dense kernels (IO) with an output-channel
+    dim divisible by the model-axis size and at least ``min_elems``
+    elements are partitioned on their last (output-channel) axis; all
+    other leaves (biases, norms, spectral-norm ``u`` vectors, optimizer
+    scalars) stay replicated.  Under ``jit`` XLA's SPMD partitioner then
+    propagates the channel sharding through the convs and inserts the
+    ICI collectives (all-gather on activations / reduce-scatter on
+    grads) automatically — no hand-written collectives, per the
+    scaling-book recipe.  With ``model=1`` this is a no-op layout."""
+    size = mesh.shape[MODEL_AXIS]
+
+    def put(x):
+        if (size > 1 and hasattr(x, "ndim") and x.ndim >= 2
+                and x.size >= min_elems and x.shape[-1] % size == 0):
+            spec = P(*([None] * (x.ndim - 1) + [MODEL_AXIS]))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, replicated_sharding(mesh))
+
+    return jax.tree.map(put, tree)

@@ -1,0 +1,115 @@
+"""Layer-library extras: non-local attention, partial conv, LPIPS.
+
+Covers the reference layer-library blocks that exist but are unused by
+the shipped configs (``models/layers/non_local.py:12-78``,
+``models/layers/conv.py:593-803``) and the LPIPS metric added for the
+BASELINE.md delta reporting.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from renderloom.models.layers import NonLocalBlock, PartialConv
+from renderloom.models.perceptual import PerceptualLoss
+
+
+def test_non_local_block_identity_at_init():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16))
+    mdl = NonLocalBlock()
+    vars_ = mdl.init(jax.random.PRNGKey(1), x)
+    out = mdl.apply(vars_, x)
+    assert out.shape == x.shape
+    # gamma starts at 0 → residual passthrough
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+def test_non_local_block_attends_after_gamma():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 16))
+    mdl = NonLocalBlock()
+    vars_ = mdl.init(jax.random.PRNGKey(1), x)
+    vars_ = jax.tree_util.tree_map(lambda v: v, vars_)
+    params = dict(vars_["params"])
+    params["gamma"] = jnp.ones((1,))
+    out = mdl.apply({**vars_, "params": params}, x)
+    assert not np.allclose(np.asarray(out), np.asarray(x))
+
+
+def test_partial_conv_full_mask_matches_plain_conv():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 10, 10, 4))
+    mask = jnp.ones((1, 10, 10, 1))
+    mdl = PartialConv(features=6, kernel=3)
+    vars_ = mdl.init(jax.random.PRNGKey(1), x, mask)
+    out, new_mask = mdl.apply(vars_, x, mask)
+    assert out.shape == (1, 10, 10, 6)
+    assert bool(jnp.all(new_mask == 1.0))
+    # interior pixels (no SAME-padding zeros in window) must equal a
+    # plain conv + bias with the same kernel
+    kernel = vars_["params"]["conv"]["kernel"]
+    plain = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    plain = plain + vars_["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(out[:, 1:-1, 1:-1]),
+                               np.asarray(plain[:, 1:-1, 1:-1]),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_partial_conv_ignores_masked_pixels():
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 10, 10, 4))
+    hole = jnp.ones((1, 10, 10, 1)).at[:, 4:6, 4:6].set(0.0)
+    mdl = PartialConv(features=6, kernel=3)
+    vars_ = mdl.init(jax.random.PRNGKey(1), x, hole)
+    out1, new_mask = mdl.apply(vars_, x, hole)
+    # corrupt the hole pixels wildly — output must not change
+    x2 = x.at[:, 4:6, 4:6].set(1e3)
+    out2, _ = mdl.apply(vars_, x2, hole)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-5, atol=1e-5)
+    # 3x3 window always sees a valid neighbour here → mask fully dilates
+    assert bool(jnp.all(new_mask == 1.0))
+
+
+def test_hyper_conv2d_matches_lax_conv_per_sample():
+    from renderloom.models.layers import hyper_conv2d
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (3, 8, 8, 4))
+    k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 4, 6))
+    b = jax.random.normal(jax.random.PRNGKey(2), (3, 6))
+    out = hyper_conv2d(x, k, b)
+    assert out.shape == (3, 8, 8, 6)
+    ref0 = jax.lax.conv_general_dilated(
+        x[0][None], k[0], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0] + b[0]
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_weight_demodulation_unit_norm():
+    from renderloom.models.layers import weight_demodulated_conv2d
+    x = jnp.ones((2, 6, 6, 4))
+    k = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 4, 8))
+    style = jnp.ones((2, 4)) * 3.0
+    out = weight_demodulated_conv2d(x, k, style)
+    # demodulation cancels any uniform style scale: output invariant
+    out2 = weight_demodulated_conv2d(x, k, style / 3.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                               rtol=1e-5, atol=1e-5)
+    # per-output-channel effective kernels are unit L2 norm → with
+    # all-ones 1x1 input the response equals sum of normalized weights
+    w = k[..., :] / jnp.sqrt(jnp.sum(k ** 2, axis=(0, 1, 2)) + 1e-8)
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0]),
+                               np.asarray(jnp.sum(w, axis=(0, 1, 2))),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lpips_zero_for_identical_and_positive_for_different():
+    p = PerceptualLoss()
+    a = jax.random.uniform(jax.random.PRNGKey(0), (2, 48, 48, 3)) * 2 - 1
+    b = jax.random.uniform(jax.random.PRNGKey(1), (2, 48, 48, 3)) * 2 - 1
+    same = np.asarray(p.lpips(a, a))
+    diff = np.asarray(p.lpips(a, b))
+    assert same.shape == (2,)
+    np.testing.assert_allclose(same, 0.0, atol=1e-6)
+    assert (diff > 1e-4).all()
