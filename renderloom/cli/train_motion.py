@@ -117,8 +117,10 @@ def main(argv=None):
     for epoch in range(start_epoch, epochs):
         tic = time.time()
         if reader:
-            batches = reader.batches(rng, cfg.batch_size, d.max_seq_length,
-                                     d.train_sample_rate)
+            from renderloom.data.prefetch import prefetch
+            batches = prefetch(
+                reader.batches(rng, cfg.batch_size, d.max_seq_length,
+                               d.train_sample_rate), depth=2)
         else:
             batches = synthetic_batches(rng, steps_per_epoch,
                                         cfg.batch_size, d.max_seq_length)

@@ -138,7 +138,9 @@ def main(argv=None):
 
         tic = time.time()
         if reader:
-            batches = reader.batches(rng, cfg.batch_size)
+            from renderloom.data.prefetch import prefetch
+            batches = prefetch(reader.batches(rng, cfg.batch_size),
+                               depth=2)
         else:
             batches = synthetic_batches(rng, steps_per_epoch,
                                         cfg.batch_size, max_frames,

@@ -66,6 +66,7 @@ class AmassReader:
 
     def __init__(self, h5_path: str, splits: Sequence[str]):
         self.h5_path = h5_path
+        self.splits = tuple(splits)
         self.samples: List[Tuple[str, str]] = []
         with h5py.File(h5_path, "r") as f:
             for name in splits:
@@ -150,6 +151,11 @@ def compute_stats(reader: AmassReader, cfg: MotionDatasetConfig,
         mean_acc = mean_acc + local.mean(axis=2)
         std_acc = std_acc + local.std(axis=2)
     n = len(samples)
+    if n == 0:
+        raise ValueError(
+            "AMASS reader matched no motions — check that the h5's "
+            "top-level groups intersect the configured split "
+            f"(reader splits: {reader.splits})")
     mean = mean_acc / n
     std = std_acc / n
     std[std == 0] = 1e-9
