@@ -41,6 +41,33 @@ def _enable_compile_cache():
         pass
 
 
+def _select_backend() -> str:
+    """Probe the accelerator in a bounded subprocess (a dead tunnel can
+    hang backend init for tens of minutes); fall back to CPU when it's
+    unreachable so the driver always gets a JSON line, tagged with the
+    platform the bench actually ran on."""
+    import subprocess
+
+    timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "180"))
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout)
+        ok = probe.returncode == 0
+        platform = probe.stdout.strip().splitlines()[-1] if ok else ""
+    except subprocess.TimeoutExpired:
+        ok, platform = False, ""
+
+    import jax
+
+    if not ok or not platform:
+        print("accelerator unavailable; falling back to CPU",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+    return jax.devices()[0].platform
+
+
 def bench_motion_train(steps: int = 20, warmup: int = 3) -> dict:
     """Full motion-transformer train-step throughput (seq/s/chip)."""
     import jax
@@ -51,7 +78,9 @@ def bench_motion_train(steps: int = 20, warmup: int = 3) -> dict:
     from renderloom.parallel import make_mesh, replicate, shard_batch
     from renderloom.train.motion import create_motion_state, make_train_step
 
-    cfg = MotionConfig()
+    cfg = MotionConfig(
+        compute_dtype="bfloat16" if jax.default_backend() == "tpu"
+        else "float32")
     mesh = make_mesh()
     model, tx, state = create_motion_state(jax.random.PRNGKey(0), cfg)
     state = replicate(mesh, state)
@@ -90,8 +119,11 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
     from renderloom.train.gan import create_gan_state, make_rollout
     from renderloom.train.motion import create_motion_state
 
-    mcfg = MotionConfig()
-    rcfg = RendererConfig()
+    # bfloat16 compute on the MXU (params/norm statistics stay fp32);
+    # CPU bf16 is emulated and slower, so keep fp32 there
+    dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
+    mcfg = MotionConfig(compute_dtype=dtype)
+    rcfg = RendererConfig(compute_dtype=dtype)
     H, W = rcfg.data.model_height, rcfg.data.model_width
 
     m_model, _, m_state = create_motion_state(jax.random.PRNGKey(0), mcfg)
@@ -167,7 +199,9 @@ def bench_gan_train(steps: int = 4, warmup: int = 1) -> dict:
     from renderloom.parallel import make_mesh, replicate, shard_batch
     from renderloom.train.gan import create_gan_state, make_gan_train_step
 
-    cfg = RendererConfig()
+    cfg = RendererConfig(
+        compute_dtype="bfloat16" if jax.default_backend() == "tpu"
+        else "float32")
     H, W = cfg.data.model_height, cfg.data.model_width
     mesh = make_mesh()
     gen, dis, txs, state = create_gan_state(jax.random.PRNGKey(0), cfg,
@@ -199,6 +233,7 @@ def bench_gan_train(steps: int = 4, warmup: int = 1) -> dict:
 
 def main():
     _enable_compile_cache()
+    platform = _select_backend()
     which = os.environ.get("BENCH_METRIC", "e2e")
     if which == "motion_train":
         result = bench_motion_train()
@@ -206,6 +241,7 @@ def main():
         result = bench_gan_train()
     else:
         result = bench_e2e()
+    result["platform"] = platform
     print(json.dumps(result))
 
 

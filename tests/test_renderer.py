@@ -200,3 +200,26 @@ def test_feature_matching_loss_formula():
     r = [[jnp.zeros((1, 2, 2, 1))], [jnp.zeros((1, 2, 2, 1))]]
     # (1 + 3) / 2 scales = 2
     assert abs(float(feature_matching_loss(f, r)) - 2.0) < 1e-6
+
+
+def test_generator_bfloat16_compute_path():
+    """bf16 compute (fp32 params/norm stats) — the TPU bench config —
+    must produce finite outputs close to the fp32 path."""
+    import dataclasses
+
+    cfg32 = tiny_cfg()
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+    gen16, _, _, st = create_gan_state(jax.random.PRNGKey(0), cfg16,
+                                       height=H, width=W)
+    gen32 = Generator(cfg32.gen, jnp.float32)
+    b = make_batch(B=1, L=1)
+    args = (jnp.asarray(b["label"][:, 0]), jnp.asarray(b["label"][:, 0]),
+            jnp.asarray(b["back"][:, 0]), jnp.asarray(b["back"][:, 0]))
+    img16, mask16 = gen16.apply(
+        {"params": st.params_g, "batch_stats": st.stats_g}, *args)
+    img32, mask32 = gen32.apply(
+        {"params": st.params_g, "batch_stats": st.stats_g}, *args)
+    assert img16.dtype == jnp.float32  # outputs cast back for compositing
+    assert np.isfinite(np.asarray(img16)).all()
+    assert np.abs(np.asarray(img16) - np.asarray(img32)).mean() < 0.1
+    assert np.abs(np.asarray(mask16) - np.asarray(mask32)).mean() < 0.1
