@@ -76,23 +76,31 @@ def evaluate_h5(gen, state, cfg: RendererConfig, reader: HsmReader,
         }
         fused, _ = rollout(state.params_g, state.stats_g, batch)
 
-        for i in range(seq_len):
-            if i % sample_rate == 0:
-                continue
-            fg = prep["fg_mask"][i][None]
-            gt = prep["image"][i][None]
-            ps, ss = masked_metrics(fused[0, i][None], gt, fg)
-            totals["OURS_PSNR"] += float(ps)
-            totals["OURS_SSIM"] += float(ss)
-            ps, ss = masked_metrics(prep["back"][i][None], gt, fg)
-            totals["DAIN_PSNR"] += float(ps)
-            totals["DAIN_SSIM"] += float(ss)
-            if perceptual is not None:
-                totals["OURS_LPIPS"] += float(
-                    lpips_fn(fused[0, i][None] * fg, gt * fg)[0])
-                totals["DAIN_LPIPS"] += float(
-                    lpips_fn(prep["back"][i][None] * fg, gt * fg)[0])
-            cnt += 1
+        # batch the generated (non-keyframe) frames into one metrics
+        # dispatch per clip: psnr averages per-sample values and the
+        # equal-sized ssim maps mean identically, so this matches the
+        # reference's frame-by-frame accumulation exactly
+        gen_idx = np.asarray(
+            [i for i in range(seq_len) if i % sample_rate != 0])
+        if gen_idx.size == 0:
+            continue
+        fg = prep["fg_mask"][gen_idx]
+        gt = prep["image"][gen_idx]
+        ours = fused[0, gen_idx]
+        back = prep["back"][gen_idx]
+        n = int(gen_idx.size)
+        ps, ss = masked_metrics(ours, gt, fg)
+        totals["OURS_PSNR"] += float(ps) * n
+        totals["OURS_SSIM"] += float(ss) * n
+        ps, ss = masked_metrics(back, gt, fg)
+        totals["DAIN_PSNR"] += float(ps) * n
+        totals["DAIN_SSIM"] += float(ss) * n
+        if perceptual is not None:
+            totals["OURS_LPIPS"] += float(
+                jnp.sum(lpips_fn(ours * fg, gt * fg)))
+            totals["DAIN_LPIPS"] += float(
+                jnp.sum(lpips_fn(back * fg, gt * fg)))
+        cnt += n
 
     return {k: v / max(cnt, 1) for k, v in totals.items()}
 
