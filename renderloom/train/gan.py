@@ -63,6 +63,12 @@ def make_gan_optimizers(cfg: RendererConfig, steps_per_epoch: int = 1):
                             o.step_size)
     tx_g = optax.amsgrad(learning_rate=sched_g, b1=o.beta1, b2=o.beta2)
     tx_d = optax.amsgrad(learning_rate=sched_d, b1=o.beta1, b2=o.beta2)
+    # failure detection the reference lacks (SURVEY.md §5.3): a non-finite
+    # gradient (GAN instability, bf16 overflow) skips the update instead
+    # of poisoning the params; persistent blow-ups still error out after
+    # max_consecutive_errors so they can't pass silently
+    tx_g = optax.apply_if_finite(tx_g, max_consecutive_errors=10)
+    tx_d = optax.apply_if_finite(tx_d, max_consecutive_errors=10)
     return tx_g, tx_d
 
 
@@ -269,6 +275,8 @@ def make_gan_train_step(gen: Generator, dis: DiscriminatorSet,
             step=state.step + 1)
         # average metrics over frames
         metrics = jax.tree.map(jnp.mean, metrics)
+        metrics["notfinite/g"] = opt_g.notfinite_count.astype(jnp.float32)
+        metrics["notfinite/d"] = opt_d.notfinite_count.astype(jnp.float32)
         return new_state, metrics
 
     return train_step

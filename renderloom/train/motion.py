@@ -60,10 +60,14 @@ def make_optimizer(cfg: MotionConfig, steps_per_epoch: int):
     o = cfg.optim
     schedule = step_schedule(o.lr, o.lr_policy, steps_per_epoch, o.gamma,
                              o.step_size, o.warmup)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(o.grad_clip),
         optax.amsgrad(learning_rate=schedule, b1=o.beta1, b2=o.beta2),
     )
+    # skip (and count) non-finite-gradient steps instead of poisoning
+    # params; hard-error after 10 consecutive (failure detection,
+    # SURVEY.md §5.3 — absent in the reference)
+    return optax.apply_if_finite(tx, max_consecutive_errors=10)
 
 
 def create_motion_state(key: jax.Array, cfg: MotionConfig,
@@ -144,6 +148,8 @@ def make_train_step(model: MotionTransformer, tx, cfg: MotionConfig,
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["notfinite"] = opt_state.notfinite_count.astype(
+            jnp.float32)
         new_state = state.replace(params=params, opt_state=opt_state,
                                   step=state.step + 1)
         return new_state, metrics
