@@ -95,10 +95,17 @@ class AmassReader:
     def batches(self, rng: np.random.Generator, batch_size: int,
                 max_len: int, rate: int, shuffle: bool = True,
                 drop_last: bool = True) -> Iterator[dict]:
-        """Yield raw batches {"motion3d": (B,52,3,L), "pad_mask": (B,L)}."""
+        """Yield raw batches {"motion3d": (B,52,3,L), "pad_mask": (B,L)}.
+
+        Multi-host: every process draws the same shuffled order (seeded
+        rng) and keeps its strided slice, so hosts read disjoint samples
+        (``parallel.process_shard``); ``batch_size`` is per-process."""
+        from renderloom.parallel import process_shard
+
         order = np.arange(len(self.samples))
         if shuffle:
             rng.shuffle(order)
+        order = order[process_shard(len(order))]
         motions, masks = [], []
         for idx in order:
             data = self.read_motion(*self.samples[idx])

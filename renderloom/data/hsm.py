@@ -123,9 +123,15 @@ class HsmReader:
 
     def batches(self, rng: np.random.Generator, batch_size: int,
                 shuffle: bool = True, drop_last: bool = True):
+        """Multi-host: same shuffled order on every process (seeded rng),
+        each keeps its strided slice → disjoint reads; ``batch_size`` is
+        per-process (``parallel.process_shard``)."""
+        from renderloom.parallel import process_shard
+
         order = np.arange(len(self.samples))
         if shuffle:
             rng.shuffle(order)
+        order = order[process_shard(len(order))]
         buf = []
         for idx in order:
             buf.append(self.read_window(*self.samples[idx]))

@@ -8,4 +8,5 @@ from renderloom.parallel.mesh import (  # noqa: F401
     shard_batch,
     replicate,
     shard_params_tp,
+    process_shard,
 )

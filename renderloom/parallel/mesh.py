@@ -60,6 +60,21 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def process_shard(n: int, process_index: Optional[int] = None,
+                  process_count: Optional[int] = None) -> np.ndarray:
+    """Indices [0, n) owned by this host for multi-host input pipelines.
+
+    Each process reads a disjoint strided slice of the global sample
+    order (same seed everywhere → same permutation → disjoint coverage);
+    per-process batch size is ``global_batch // process_count``.  On a
+    single host this is the identity."""
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    return np.arange(process_index, n, process_count)
+
+
 def shard_params_tp(mesh: Mesh, tree: Any,
                     min_elems: int = 1 << 14) -> Any:
     """Tensor-shard a parameter pytree over the ``model`` axis.

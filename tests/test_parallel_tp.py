@@ -64,3 +64,19 @@ def test_tp_noop_on_model1_mesh():
     tree = {"k": jnp.ones((64, 64))}
     out = shard_params_tp(mesh, tree)
     assert out["k"].sharding.is_fully_replicated
+
+
+def test_process_shard_disjoint_and_complete():
+    from renderloom.parallel import process_shard
+    n, k = 23, 4
+    slices = [process_shard(n, i, k) for i in range(k)]
+    combined = np.sort(np.concatenate(slices))
+    np.testing.assert_array_equal(combined, np.arange(n))
+    for i in range(k):
+        for j in range(i + 1, k):
+            assert not set(slices[i]) & set(slices[j])
+
+
+def test_process_shard_identity_single_host():
+    from renderloom.parallel import process_shard
+    np.testing.assert_array_equal(process_shard(10), np.arange(10))
