@@ -170,7 +170,8 @@ def main(argv=None):
         if test_reader and (epoch + 1) % 4 == 0:
             host_state = jax.device_get(state)
             results = evaluate_h5(gen, host_state, cfg, test_reader,
-                                  max_keyframes=args.eval_keyframes)
+                                  max_keyframes=args.eval_keyframes,
+                                  perceptual=perceptual)
             logger.log(int(state.step), results, prefix="eval/")
             logger.console(int(state.step), results, header="eval ")
 
