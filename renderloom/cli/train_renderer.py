@@ -22,13 +22,12 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from renderloom.core import checkpoint as ckpt
 from renderloom.core.config import RendererConfig, load_renderer_config
 from renderloom.core.logging import MetricLogger, snapshot_source
-from renderloom.data.hsm import HsmReader, prepare_batch
+from renderloom.data.hsm import HsmReader
 from renderloom.eval.render_eval import evaluate_h5
 from renderloom.models.perceptual import PerceptualLoss
 from renderloom.parallel import make_mesh, replicate, shard_batch
@@ -116,14 +115,15 @@ def main(argv=None):
 
     state = replicate(mesh, state)
     perceptual = PerceptualLoss()
-    step_fn = make_gan_train_step(gen, dis, txs, cfg, perceptual)
-
-    # fused Pallas rasterization on TPU; vmapped jnp path elsewhere
+    # fused Pallas rasterization on TPU; vmapped jnp path elsewhere.
+    # prep runs INSIDE the jitted step: raw uint8 windows ship to device
+    # (~30x less transfer than prepared labels), augmentation +
+    # rasterization are data-parallel over the mesh
     fused = jax.default_backend() == "tpu"
-    prep = jax.jit(lambda key, b: prepare_batch(key, b, d, True, fused))
+    step_fn = make_gan_train_step(gen, dis, txs, cfg, perceptual,
+                                  data_cfg=d, fused_raster=fused)
 
     rng = np.random.default_rng(seed)
-    prep_key = jax.random.PRNGKey(seed + 1)
     start_epoch = int(state.step) // steps_per_epoch
     max_frames = d.max_frames
 
@@ -148,13 +148,12 @@ def main(argv=None):
         metrics = {}
         n_steps = 0
         for raw in batches:
-            prep_key, k = jax.random.split(prep_key)
-            batch = prep(k, {
-                "images": jnp.asarray(raw["images"]),
-                "dain": jnp.asarray(raw["dain"]),
-                "poses": jnp.asarray(raw["poses"].astype(np.float32)),
+            batch = shard_batch(mesh, {
+                "images": raw["images"],
+                "dain": raw["dain"],
+                "poses": raw["poses"].astype(np.float32),
             })
-            state, metrics = step_fn(state, shard_batch(mesh, batch))
+            state, metrics = step_fn(state, batch)
             n_steps += 1
             if n_steps % 10 == 0:
                 logger.log(int(state.step),

@@ -147,12 +147,21 @@ def g_gan_losses(d_out: Dict, mode: str, weights: Dict[str, float],
 
 def make_gan_train_step(gen: Generator, dis: DiscriminatorSet,
                         txs, cfg: RendererConfig,
-                        perceptual: PerceptualLoss):
+                        perceptual: PerceptualLoss,
+                        data_cfg=None, fused_raster: bool = False):
     """Build the jitted multi-frame train step.
 
     ``batch`` (all NHWC, frame axis second): label (B,L,H,W,22),
     image (B,L,H,W,3), back (B,L,H,W,3), fg_mask (B,L,H,W,1), all
     float32 in [-1,1] (masks in {0,1}).
+
+    With ``data_cfg`` set, the step instead takes RAW reader windows
+    ({"images","dain","poses"} uint8/float) and runs the full on-device
+    preparation (affine augment, rasterization, background pipeline —
+    :func:`renderloom.data.hsm.prepare_batch`) INSIDE the same jit,
+    consuming ``state.key``: host→device traffic shrinks to the raw
+    bytes (~30× less than prepared 22-channel labels) and the prep is
+    data-parallel over the mesh along with the step itself.
     """
     tx_g, tx_d = txs
     mode = cfg.gan_mode
@@ -250,6 +259,13 @@ def make_gan_train_step(gen: Generator, dis: DiscriminatorSet,
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: GanTrainState, batch):
+        if data_cfg is not None:
+            from renderloom.data.hsm import prepare_batch
+
+            key, k_prep = jax.random.split(state.key)
+            state = state.replace(key=key)
+            batch = prepare_batch(k_prep, batch, data_cfg, train=True,
+                                  fused_raster=fused_raster)
         # frame-major: (L, B, H, W, C)
         tm = lambda x: jnp.swapaxes(x, 0, 1)
         label = tm(batch["label"])
