@@ -27,8 +27,27 @@ from renderloom.eval.render_eval import render_folder
 from renderloom.train.gan import create_gan_state
 
 
-def synthesize_backgrounds(input_dir: str, dain_dir: str, rate: int):
-    """Fill a DAIN/-equivalent folder with flow-interpolated frames."""
+def load_flow_interp(flow_ckpt: str, flow_config: str = None,
+                     height: int = 256, width: int = 384):
+    """Restore the learned flow backend → ``interp_fn(a, b, t)``.
+
+    The UNet is resolution-agnostic at inference apart from the
+    2^levels divisibility, so ``height``/``width`` only shape the init."""
+    from renderloom.core.config import FlowConfig, load_flow_config
+    from renderloom.models.flownet import make_learned_interp
+    from renderloom.train.flow import create_flow_state
+
+    cfg = load_flow_config(flow_config) if flow_config else FlowConfig()
+    model, _, state = create_flow_state(jax.random.PRNGKey(0), cfg,
+                                        height, width)
+    state = ckpt.restore_checkpoint(flow_ckpt, target=state)
+    return make_learned_interp(model, state.params)
+
+
+def synthesize_backgrounds(input_dir: str, dain_dir: str, rate: int,
+                           interp_fn=None):
+    """Fill a DAIN/-equivalent folder with flow-interpolated frames
+    (LK backend by default; pass ``interp_fn`` for the learned one)."""
     import jax.numpy as jnp
     from PIL import Image
 
@@ -39,7 +58,8 @@ def synthesize_backgrounds(input_dir: str, dain_dir: str, rate: int):
     frames = np.stack([
         np.asarray(Image.open(os.path.join(input_dir, f)).convert("RGB"))
         for f in keys]).astype(np.float32) / 255.0
-    dense = upsample_background(jnp.asarray(frames), rate)
+    dense = upsample_background(jnp.asarray(frames), rate,
+                                interp_fn=interp_fn)
     os.makedirs(dain_dir, exist_ok=True)
     arr = np.asarray(jnp.clip(dense, 0, 1) * 255).astype(np.uint8)
     for i in range(arr.shape[0]):
@@ -59,6 +79,10 @@ def main(argv=None):
     p.add_argument("--upsample-rate", type=int, default=4,
                    help="used when synthesizing missing backgrounds")
     p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--flow-ckpt", type=str, default=None,
+                   help="learned flow checkpoint for background "
+                        "synthesis (default: pyramidal LK)")
+    p.add_argument("--flow-config", type=str, default=None)
     args = p.parse_args(argv)
 
     cfg = load_renderer_config(args.config) if args.config \
@@ -79,6 +103,9 @@ def main(argv=None):
     if not clips:
         clips = [""]
 
+    interp_fn = load_flow_interp(args.flow_ckpt, args.flow_config) \
+        if args.flow_ckpt else None
+
     for clip in clips:
         input_dir = os.path.join(inputs_root, clip)
         dain_dir = os.path.join(dain_root, clip)
@@ -88,7 +115,7 @@ def main(argv=None):
             print(f"clip {clip or '.'}: no DAIN folder — synthesizing "
                   "backgrounds with the flow interpolator")
             n = synthesize_backgrounds(input_dir, dain_dir,
-                                       args.upsample_rate)
+                                       args.upsample_rate, interp_fn)
             print(f"  wrote {n} background frames")
         n = render_folder(gen, state, cfg, input_dir, dain_dir, pose_dir,
                           out_dir)

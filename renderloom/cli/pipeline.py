@@ -48,6 +48,10 @@ def main(argv=None):
                    help="optional output mp4 path")
     p.add_argument("--fps", type=int, default=30)
     p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--flow-ckpt", type=str, default=None,
+                   help="learned flow checkpoint for stage 2 "
+                        "(default: pyramidal LK)")
+    p.add_argument("--flow-config", type=str, default=None)
     args = p.parse_args(argv)
 
     from renderloom.cli.infer_renderer import synthesize_backgrounds
@@ -84,9 +88,15 @@ def main(argv=None):
     print(f"motion: wrote dense poses to {pred_dir}")
 
     # ---- stage 2: background synthesis ------------------------------
+    from renderloom.cli.infer_renderer import load_flow_interp
+
+    interp_fn = load_flow_interp(args.flow_ckpt, args.flow_config) \
+        if args.flow_ckpt else None
     dain_dir = os.path.join(args.out_dir, "DAIN")
-    n_back = synthesize_backgrounds(args.frames_dir, dain_dir, args.rate)
-    print(f"background: wrote {n_back} flow-interpolated frames")
+    n_back = synthesize_backgrounds(args.frames_dir, dain_dir, args.rate,
+                                    interp_fn)
+    print(f"background: wrote {n_back} flow-interpolated frames "
+          f"({'learned' if interp_fn else 'LK'} backend)")
 
     # ---- stage 3: neural rendering ----------------------------------
     rcfg = load_renderer_config(args.renderer_config) \

@@ -325,6 +325,27 @@ class RendererConfig:
     compute_dtype: str = "float32"
 
 
+@dataclass(frozen=True)
+class FlowConfig:
+    """Learned flow-interpolator settings (the trainable DAIN
+    replacement — ``renderloom/models/flownet.py``; the reference's
+    interpolator is the external pretrained DAIN repo)."""
+
+    base_filters: int = 24
+    levels: int = 4
+    lr: float = 2e-4
+    grad_clip: float = 1.0
+    w_photo: float = 0.5
+    w_smooth: float = 0.05
+    nr_epochs: int = 50
+    batch_size: int = 8
+    compute_dtype: str = "float32"
+
+
+def load_flow_config(path: str) -> "FlowConfig":
+    return _update_dataclass(FlowConfig(), load_yaml(path))
+
+
 # ---------------------------------------------------------------------------
 # YAML loading — accepts both renderloom layout and the reference's flat
 # key layout so existing experiment yamls carry over.

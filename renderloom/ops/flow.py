@@ -165,12 +165,17 @@ def interpolate_pair(img0: jax.Array, img1: jax.Array, t: jax.Array,
 
 
 def frame_double_pairs(frames: jax.Array, levels: int = 4,
-                       iters: int = 3) -> jax.Array:
+                       iters: int = 3, interp_fn=None) -> jax.Array:
     """(K, H, W, C) keyframes → (2K-1, ...) with flow midpoints — one
-    pass of the reference's recursive doubling (DAIN_test.py:105-198)."""
-    mids = jax.vmap(lambda a, b: interpolate_pair(a, b, 0.5, levels,
-                                                  iters))(frames[:-1],
-                                                          frames[1:])
+    pass of the reference's recursive doubling (DAIN_test.py:105-198).
+
+    ``interp_fn(img0, img1, t)`` overrides the backend (e.g. the learned
+    UNet via ``models.flownet.make_learned_interp``); default is LK."""
+    if interp_fn is None:
+        interp_fn = lambda a, b, t: interpolate_pair(a, b, t, levels,
+                                                     iters)
+    mids = jax.vmap(lambda a, b: interp_fn(a, b, 0.5))(frames[:-1],
+                                                       frames[1:])
     K, H, W, C = frames.shape
     out = jnp.zeros((2 * K - 1, H, W, C), frames.dtype)
     out = out.at[::2].set(frames)
@@ -179,25 +184,27 @@ def frame_double_pairs(frames: jax.Array, levels: int = 4,
 
 
 def upsample_background(frames: jax.Array, rate: int, levels: int = 4,
-                        iters: int = 3) -> jax.Array:
+                        iters: int = 3, interp_fn=None) -> jax.Array:
     """(K, H, W, C) keyframes → ((K-1)·rate+1, ...) by repeated doubling
     (rate must be a power of two, like the reference pipeline)."""
     times = int(rate).bit_length() - 1
     assert 2 ** times == rate, "rate must be a power of two"
     for _ in range(times):
-        frames = frame_double_pairs(frames, levels, iters)
+        frames = frame_double_pairs(frames, levels, iters, interp_fn)
     return frames
 
 
 def train_background(frames: jax.Array, levels: int = 4,
-                     iters: int = 3) -> jax.Array:
+                     iters: int = 3, interp_fn=None) -> jax.Array:
     """(F, H, W, C) real frames → (F, H, W, C) surrogate backgrounds:
     frame i+1's background is interpolated from frames i and i+2,
     skipping the true middle frame (DAIN_train.py:109-112) so the
     renderer never sees a perfect background.  Ends copy their
     neighbors' interpolations."""
-    mids = jax.vmap(lambda a, b: interpolate_pair(a, b, 0.5, levels,
-                                                  iters))(frames[:-2],
-                                                          frames[2:])
+    if interp_fn is None:
+        interp_fn = lambda a, b, t: interpolate_pair(a, b, t, levels,
+                                                     iters)
+    mids = jax.vmap(lambda a, b: interp_fn(a, b, 0.5))(frames[:-2],
+                                                       frames[2:])
     out = jnp.concatenate([mids[:1], mids, mids[-1:]], axis=0)
     return out
