@@ -139,11 +139,21 @@ class MotionEvaluator:
     # ----------------------------------------------------------------- #
 
     def evaluate(self, model, params, limit: Optional[int] = None,
-                 batch_size: int = 8) -> Dict[str, float]:
+                 batch_size: int = 8,
+                 dump_h5: Optional[str] = None) -> Dict[str, float]:
         """Run the full test protocol, return the metric dict
-        (mse/mae/max for model and linear baseline)."""
+        (mse/mae/max for model and linear baseline).
+
+        ``dump_h5`` writes per-sample ``<dataset>/<motion>/{pred,gt,
+        interp}`` global-joint arrays — the reference's inspection
+        artifact (``infer_h5_file``, evaluator.py:52-78)."""
         samples = self.reader.samples[:limit] if limit \
             else self.reader.samples
+        h5_out = None
+        if dump_h5:
+            import h5py
+            os.makedirs(os.path.dirname(dump_h5) or ".", exist_ok=True)
+            h5_out = h5py.File(dump_h5, "w")
 
         @jax.jit
         def infer(params, inputs, src_mask, interp, pad_mask, lengths):
@@ -170,7 +180,7 @@ class MotionEvaluator:
             key = jax.random.fold_in(jax.random.PRNGKey(0), i)
             prep = self._prep(key, jnp.asarray(padded),
                               jnp.asarray(pad_mask), view)
-            buf.append((prep, T))
+            buf.append((prep, T, dkey, mkey))
             if len(buf) == batch_size or i == len(samples) - 1:
                 stacked = {
                     k: jnp.stack([b[0][k] for b in buf])
@@ -179,10 +189,15 @@ class MotionEvaluator:
                 preds = infer(params, stacked["input"],
                               stacked["src_mask"], stacked["interp"],
                               stacked["mask"], lengths)
-                for j, (prep, length) in enumerate(buf):
+                for j, (prep, length, dk, mk) in enumerate(buf):
                     gt = np.asarray(prep["gt"])[:, :, :length]
                     pred = self._postprocess(preds[j], length)
                     interp = self._postprocess(prep["interp"], length)
+                    if h5_out is not None:
+                        grp = h5_out.create_group(f"{dk}/{mk}")
+                        grp.create_dataset("pred", data=pred)
+                        grp.create_dataset("gt", data=gt)
+                        grp.create_dataset("interp", data=interp)
                     m = global_metrics(gt, pred, interp, self.root)
                     for k in ("mse", "mae", "mse_interp", "mae_interp"):
                         totals[k] += m[k]
@@ -192,6 +207,8 @@ class MotionEvaluator:
                     n_samples += 1
                 buf = []
 
+        if h5_out is not None:
+            h5_out.close()
         cnt = max(totals["count"], 1)
         n = max(n_samples, 1)
         return {

@@ -74,3 +74,23 @@ def test_motion_evaluator_protocol(amass_h5, tmp_path):
     assert r2["mse_interp"] == pytest.approx(results["mse_interp"])
     # an untrained model should not beat the linear baseline
     assert results["mse_global"] > results["mse_interp"] * 0.5
+
+
+def test_motion_evaluator_h5_dump(amass_h5, tmp_path):
+    c = cfg()
+    reader = AmassReader(amass_h5, c.dataset.test_split)
+    mean, std = compute_stats(reader, c.dataset)
+    model, _, state = create_motion_state(jax.random.PRNGKey(0), c)
+    ev = MotionEvaluator(c, reader, mean, std,
+                         str(tmp_path / "views.npy"))
+    dump = str(tmp_path / "eval_dump.h5")
+    ev.evaluate(model, state.params, batch_size=2, dump_h5=dump)
+    with h5py.File(dump, "r") as f:
+        groups = [f"{d}/{m}" for d in f for m in f[d]]
+        assert len(groups) == 2
+        g = f[groups[0]]
+        for key in ("pred", "gt", "interp"):
+            assert key in g
+            assert g[key].shape[0] == 19 and g[key].shape[1] == 2
+        # pred/gt/interp share the clip's true (unpadded) length
+        assert g["pred"].shape == g["gt"].shape == g["interp"].shape
