@@ -61,6 +61,8 @@ def main(argv=None):
                    help="train on procedural motion (no h5 needed)")
     p.add_argument("--steps-per-epoch", type=int, default=50,
                    help="synthetic mode only")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture an XLA profiler trace of steps 3-8")
     p.add_argument("--eval-limit", type=int, default=None,
                    help="cap eval samples for quick runs")
     args = p.parse_args(argv)
@@ -126,13 +128,25 @@ def main(argv=None):
                                         cfg.batch_size, d.max_seq_length)
         metrics = {}
         n_steps = 0
+        tracing = False
         for batch in batches:
+            if args.profile_dir and epoch == start_epoch:
+                if n_steps == 2:        # past compilation
+                    jax.profiler.start_trace(args.profile_dir)
+                    tracing = True
+                elif n_steps == 8 and tracing:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    tracing = False
             state, metrics = step_fn(state, shard_batch(mesh, batch))
             n_steps += 1
             if n_steps % 20 == 0:
                 logger.log(int(state.step),
                            {k: float(v) for k, v in metrics.items()},
                            prefix="train/")
+        if tracing:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
         wall = time.time() - tic
         if metrics:
             scalars = {k: float(v) for k, v in metrics.items()}

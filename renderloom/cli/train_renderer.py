@@ -66,6 +66,11 @@ def main(argv=None):
                    help="override model height (synthetic smoke)")
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--eval-keyframes", type=int, default=None)
+    p.add_argument("--eval-video-dir", type=str, default=None,
+                   help="write per-clip grid videos during eval "
+                        "(the reference's gen_videos)")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture an XLA profiler trace of steps 3-8")
     args = p.parse_args(argv)
 
     cfg = load_renderer_config(args.config) if args.config \
@@ -147,7 +152,16 @@ def main(argv=None):
                                         d.load_height, d.load_width)
         metrics = {}
         n_steps = 0
+        tracing = False
         for raw in batches:
+            if args.profile_dir and epoch == start_epoch:
+                if n_steps == 2:        # past compilation
+                    jax.profiler.start_trace(args.profile_dir)
+                    tracing = True
+                elif n_steps == 8 and tracing:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    tracing = False
             batch = shard_batch(mesh, {
                 "images": raw["images"],
                 "dain": raw["dain"],
@@ -159,6 +173,9 @@ def main(argv=None):
                 logger.log(int(state.step),
                            {k_: float(v) for k_, v in metrics.items()},
                            prefix="train/")
+        if tracing:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
         wall = time.time() - tic
         if metrics:
             scalars = {k_: float(v) for k_, v in metrics.items()}
@@ -170,7 +187,8 @@ def main(argv=None):
             host_state = jax.device_get(state)
             results = evaluate_h5(gen, host_state, cfg, test_reader,
                                   max_keyframes=args.eval_keyframes,
-                                  perceptual=perceptual)
+                                  perceptual=perceptual,
+                                  video_dir=args.eval_video_dir)
             logger.log(int(state.step), results, prefix="eval/")
             logger.console(int(state.step), results, header="eval ")
 

@@ -38,12 +38,16 @@ from renderloom.train.gan import make_rollout
 
 def evaluate_h5(gen, state, cfg: RendererConfig, reader: HsmReader,
                 max_keyframes: Optional[int] = None,
-                chunk: int = 16, perceptual=None) -> Dict[str, float]:
+                chunk: int = 16, perceptual=None,
+                video_dir: Optional[str] = None) -> Dict[str, float]:
     """Training-time eval over the h5 test split (evaluator.py:48-147).
 
     Pass a :class:`~renderloom.models.perceptual.PerceptualLoss` as
     ``perceptual`` to additionally report uncalibrated LPIPS-vgg
-    (``*_LPIPS``, the BASELINE.md delta metric)."""
+    (``*_LPIPS``, the BASELINE.md delta metric).  ``video_dir`` writes a
+    per-clip Fuse/Mask/Warp/GT/Skeleton grid video — the reference's
+    ``gen_videos`` output (evaluator.py:142-143,
+    ``utils/visualize.py:make_video``)."""
     rollout = make_rollout(gen, cfg)
     sample_rate = 2
     d = cfg.data
@@ -74,7 +78,25 @@ def evaluate_h5(gen, state, cfg: RendererConfig, reader: HsmReader,
             "key_img": prep["image"][None],
             "is_key": jnp.asarray(np.arange(seq_len) % sample_rate == 0),
         }
-        fused, _ = rollout(state.params_g, state.stats_g, batch)
+        fused, masks = rollout(state.params_g, state.stats_g, batch)
+
+        if video_dir:
+            from renderloom.utils.visualize import make_grid_video
+
+            os.makedirs(video_dir, exist_ok=True)
+            streams = {
+                "Fuse": [np.asarray(fused[0, i]) for i in range(seq_len)],
+                "Mask": [np.asarray(masks[0, i, :, :, 0])
+                         for i in range(seq_len)],
+                "Warp": [np.asarray(prep["back"][i])
+                         for i in range(seq_len)],
+                "GT": [np.asarray(prep["image"][i])
+                       for i in range(seq_len)],
+                "Skeleton": [np.asarray(prep["label"][i, :, :, :3])
+                             for i in range(seq_len)],
+            }
+            make_grid_video(streams, os.path.join(video_dir,
+                                                  f"{vid}.mp4"))
 
         # batch the generated (non-keyframe) frames into one metrics
         # dispatch per clip: psnr averages per-sample values and the

@@ -91,3 +91,15 @@ def test_evaluate_h5_with_lpips(hsm_h5):
     assert np.isfinite(results["OURS_LPIPS"])
     assert np.isfinite(results["DAIN_LPIPS"])
     assert results["DAIN_LPIPS"] > 0
+
+
+def test_evaluate_h5_writes_grid_video(hsm_h5, tmp_path):
+    cfg = tiny_cfg()
+    reader = HsmReader(hsm_h5, cfg.data.test_video_list, phase="test")
+    gen, _, _, state = create_gan_state(jax.random.PRNGKey(0), cfg,
+                                        height=H, width=W)
+    vdir = str(tmp_path / "videos")
+    evaluate_h5(gen, state, cfg, reader, max_keyframes=2, video_dir=vdir)
+    import os
+    files = os.listdir(vdir)
+    assert len(files) == 1 and files[0].startswith("test_clip")
