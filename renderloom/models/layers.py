@@ -304,6 +304,20 @@ class PartialConv(nn.Module):
         return out, (valid > 0).astype(mask.dtype)
 
 
+class ApplyNoise(nn.Module):
+    """Learnable-scale gaussian noise injection (misc.py:9-29 in the
+    reference's layer library; unused by the shipped configs).  The
+    scale starts at 0 → identity until training moves it."""
+
+    @nn.compact
+    def __call__(self, x, key=None):
+        scale = self.param("scale", nn.initializers.zeros, (1,))
+        if key is None:
+            return x
+        noise = jax.random.normal(key, x.shape[:-1] + (1,), x.dtype)
+        return x + scale * noise
+
+
 def hyper_conv2d(x: jax.Array, kernel: jax.Array,
                  bias: jax.Array | None = None,
                  stride: int = 1) -> jax.Array:

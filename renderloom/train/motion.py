@@ -49,6 +49,17 @@ def masked_l1(pred: jax.Array, mask: jax.Array,
     return jnp.sum(diff) / jnp.maximum(n, 1.0)
 
 
+def masked_mse(pred: jax.Array, mask: jax.Array,
+               target: jax.Array) -> jax.Array:
+    """Masked MSE, same normalization (``MaskedMSEloss``,
+    losses.py:102-127 — present in the reference's loss library; the
+    shipped config trains with L1)."""
+    not_mask = (~mask.astype(bool)).astype(pred.dtype)[:, None, :]
+    n = jnp.sum(not_mask) * pred.shape[1]
+    diff = ((pred - target) ** 2) * not_mask
+    return jnp.sum(diff) / jnp.maximum(n, 1.0)
+
+
 class MotionTrainState(struct.PyTreeNode):
     params: dict
     opt_state: optax.OptState

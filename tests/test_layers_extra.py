@@ -113,3 +113,29 @@ def test_lpips_zero_for_identical_and_positive_for_different():
     assert same.shape == (2,)
     np.testing.assert_allclose(same, 0.0, atol=1e-6)
     assert (diff > 1e-4).all()
+
+
+def test_apply_noise_identity_at_init_and_noisy_after():
+    from renderloom.models.layers import ApplyNoise
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    mdl = ApplyNoise()
+    vars_ = mdl.init(jax.random.PRNGKey(1), x, jax.random.PRNGKey(2))
+    out = mdl.apply(vars_, x, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x))  # scale=0
+    params = {"scale": jnp.ones((1,))}
+    out2 = mdl.apply({"params": params}, x, jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(out2), np.asarray(x))
+    # no key → deterministic passthrough
+    out3 = mdl.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(x))
+
+
+def test_masked_mse_normalization():
+    from renderloom.train.motion import masked_mse
+    pred = jnp.ones((1, 2, 4))
+    target = jnp.zeros((1, 2, 4))
+    mask = jnp.asarray([[False, False, True, True]])
+    # 2 valid timesteps x 2 channels, each squared error 1 -> mean 1
+    assert float(masked_mse(pred, mask, target)) == 1.0
+    pred = pred.at[0, :, 0].set(3.0)   # squared error 9 on one timestep
+    assert float(masked_mse(pred, mask, target)) == 5.0
