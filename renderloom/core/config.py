@@ -346,6 +346,28 @@ def load_flow_config(path: str) -> "FlowConfig":
     return _update_dataclass(FlowConfig(), load_yaml(path))
 
 
+@dataclass(frozen=True)
+class PoseNetConfig:
+    """In-framework 2D pose head (the optional AlphaPose alternative —
+    ``renderloom/models/posenet.py``; SURVEY.md §2.4)."""
+
+    base_filters: int = 32
+    blocks: int = 4
+    sigma: float = 6.0          # target gaussian σ in image pixels
+    conf_thres: float = 0.05
+    fg_weight: float = 20.0     # extra MSE weight on gaussian peaks
+    w_coord: float = 1.0
+    lr: float = 1e-3
+    grad_clip: float = 1.0
+    nr_epochs: int = 50
+    batch_size: int = 16
+    compute_dtype: str = "float32"
+
+
+def load_pose_config(path: str) -> "PoseNetConfig":
+    return _update_dataclass(PoseNetConfig(), load_yaml(path))
+
+
 # ---------------------------------------------------------------------------
 # YAML loading — accepts both renderloom layout and the reference's flat
 # key layout so existing experiment yamls carry over.
