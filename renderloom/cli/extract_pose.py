@@ -99,6 +99,9 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=384)
     args = p.parse_args(argv)
 
+    from renderloom.core.cache import enable_compile_cache
+    enable_compile_cache()
+
     cfg = load_pose_config(args.config) if args.config else PoseNetConfig()
     model, _, state = create_pose_state(jax.random.PRNGKey(0), cfg,
                                         args.height, args.width)

@@ -38,6 +38,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=123)
     args = p.parse_args(argv)
 
+    from renderloom.core.cache import enable_compile_cache
+    enable_compile_cache()
+
     cfg = load_motion_config(args.config) if args.config else MotionConfig()
     model, _, state = create_motion_state(jax.random.PRNGKey(args.seed),
                                           cfg)

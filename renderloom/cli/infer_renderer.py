@@ -85,6 +85,9 @@ def main(argv=None):
     p.add_argument("--flow-config", type=str, default=None)
     args = p.parse_args(argv)
 
+    from renderloom.core.cache import enable_compile_cache
+    enable_compile_cache()
+
     cfg = load_renderer_config(args.config) if args.config \
         else RendererConfig()
     gen, dis, txs, state = create_gan_state(jax.random.PRNGKey(args.seed),

@@ -54,6 +54,9 @@ def main(argv=None):
     p.add_argument("--flow-config", type=str, default=None)
     args = p.parse_args(argv)
 
+    from renderloom.core.cache import enable_compile_cache
+    enable_compile_cache()
+
     from renderloom.cli.infer_renderer import synthesize_backgrounds
     from renderloom.core import checkpoint as ckpt
     from renderloom.core.config import (MotionConfig, RendererConfig,

@@ -64,6 +64,9 @@ def main(argv=None):
                    help="synthetic mode only")
     args = p.parse_args(argv)
 
+    from renderloom.core.cache import enable_compile_cache
+    enable_compile_cache()
+
     cfg = load_flow_config(args.config) if args.config else FlowConfig()
     epochs = args.epochs or cfg.nr_epochs
     os.makedirs(args.out_dir, exist_ok=True)

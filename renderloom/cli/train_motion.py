@@ -67,6 +67,9 @@ def main(argv=None):
                    help="cap eval samples for quick runs")
     args = p.parse_args(argv)
 
+    from renderloom.core.cache import enable_compile_cache
+    enable_compile_cache()
+
     import dataclasses
 
     cfg = load_motion_config(args.config) if args.config else MotionConfig()

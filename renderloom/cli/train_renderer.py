@@ -73,6 +73,9 @@ def main(argv=None):
                    help="capture an XLA profiler trace of steps 3-8")
     args = p.parse_args(argv)
 
+    from renderloom.core.cache import enable_compile_cache
+    enable_compile_cache()
+
     cfg = load_renderer_config(args.config) if args.config \
         else RendererConfig()
     if args.batch_size:

@@ -1,0 +1,25 @@
+"""Persistent XLA compilation cache.
+
+First compiles through the tunneled-TPU remote compiler take minutes;
+with the cache enabled, re-runs of any CLI (and the bench) reuse the
+serialized executables.  No-op if the jax version lacks the knobs.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> str:
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "JAX_CACHE_DIR", os.path.expanduser("~/.cache/renderloom_xla"))
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+    return cache_dir
