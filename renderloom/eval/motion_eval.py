@@ -83,7 +83,8 @@ class MotionEvaluator:
         self.max_len = cfg.dataset.max_seq_length
         self.root = (pose_ops.ROOT_3D if cfg.dataset.return_type == "3D"
                      else pose_ops.ROOT_2D)
-        self._prep = jax.jit(self._prepare_device)
+        # one vmapped dispatch per eval batch instead of per sample
+        self._prep_batch = jax.jit(jax.vmap(self._prepare_device))
 
     # ----------------------------------------------------------------- #
 
@@ -176,23 +177,24 @@ class MotionEvaluator:
             padded = np.zeros((52, 3, self.max_len), dtype=np.float32)
             padded[:, :, :T] = window
             pad_mask = np.arange(self.max_len) >= T
-            view = jnp.asarray(self.views[i % len(self.views)])
+            view = self.views[i % len(self.views)]
             key = jax.random.fold_in(jax.random.PRNGKey(0), i)
-            prep = self._prep(key, jnp.asarray(padded),
-                              jnp.asarray(pad_mask), view)
-            buf.append((prep, T, dkey, mkey))
+            buf.append((padded, pad_mask, view, key, T, dkey, mkey))
             if len(buf) == batch_size or i == len(samples) - 1:
-                stacked = {
-                    k: jnp.stack([b[0][k] for b in buf])
-                    for k in ("input", "interp", "src_mask", "mask")}
-                lengths = jnp.asarray([b[1] for b in buf])
+                stacked = self._prep_batch(
+                    jnp.stack([b[3] for b in buf]),
+                    jnp.asarray(np.stack([b[0] for b in buf])),
+                    jnp.asarray(np.stack([b[1] for b in buf])),
+                    jnp.asarray(np.stack([b[2] for b in buf])))
+                lengths = jnp.asarray([b[4] for b in buf])
                 preds = infer(params, stacked["input"],
                               stacked["src_mask"], stacked["interp"],
                               stacked["mask"], lengths)
-                for j, (prep, length, dk, mk) in enumerate(buf):
-                    gt = np.asarray(prep["gt"])[:, :, :length]
+                for j, (_, _, _, _, length, dk, mk) in enumerate(buf):
+                    gt = np.asarray(stacked["gt"][j])[:, :, :length]
                     pred = self._postprocess(preds[j], length)
-                    interp = self._postprocess(prep["interp"], length)
+                    interp = self._postprocess(stacked["interp"][j],
+                                               length)
                     if h5_out is not None:
                         grp = h5_out.create_group(f"{dk}/{mk}")
                         grp.create_dataset("pred", data=pred)
