@@ -90,7 +90,8 @@ def read_openpose_dir(json_dir: str, scale: Optional[float] = None,
             out[conf > thres] = joints[conf > thres]
             out[:, 2] = conf
         else:
-            out = frames[-1].copy() if len(frames) > 1 else np.zeros(
+            # nobody detected: carry the previous pose (utils.py:158-162)
+            out = frames[-1].copy() if frames else np.zeros(
                 (NUM_JOINTS, 3))
         frames.append(out)
 
