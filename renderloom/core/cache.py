@@ -13,6 +13,17 @@ import os
 def enable_compile_cache(cache_dir: str | None = None) -> str:
     import jax
 
+    # restore standard JAX env behavior: this image's sitecustomize
+    # force-sets jax_platforms to the tunneled TPU at interpreter start,
+    # ignoring the user's JAX_PLATFORMS — re-pin it here so
+    # `JAX_PLATFORMS=cpu python -m renderloom.cli...` works as documented
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
+
     cache_dir = cache_dir or os.environ.get(
         "JAX_CACHE_DIR", os.path.expanduser("~/.cache/renderloom_xla"))
     os.makedirs(cache_dir, exist_ok=True)
