@@ -33,7 +33,7 @@ from renderloom.core.config import RendererConfig
 from renderloom.data import openpose as op_io
 from renderloom.data.hsm import HsmReader, prepare_window
 from renderloom.ops.image import masked_metrics
-from renderloom.train.gan import make_rollout
+from renderloom.train.gan import make_rollout, rollout_chunked
 
 
 def evaluate_h5(gen, state, cfg: RendererConfig, reader: HsmReader,
@@ -179,7 +179,9 @@ def render_folder(gen, state, cfg: RendererConfig, input_dir: str,
         "key_img": prep["image"][None],
         "is_key": jnp.asarray(np.arange(seq_len) % rate == 0),
     }
-    fused, _ = rollout(state.params_g, state.stats_g, batch)
+    # long clips run in fixed-size segments (device memory O(chunk))
+    fused, _ = rollout_chunked(rollout, state.params_g, state.stats_g,
+                               batch, chunk=64)
 
     os.makedirs(out_dir, exist_ok=True)
     arr = np.asarray(jnp.clip(fused[0] * 0.5 + 0.5, 0, 1) * 255

@@ -331,10 +331,58 @@ def make_rollout(gen: Generator, cfg: RendererConfig):
             mask = jnp.where(k, jnp.zeros_like(mask), mask)
             return (fused, xs["label"]), (fused, mask)
 
-        init = (key_img[0], label[0])
+        if "init_fuse" in batch:      # chunked continuation (static)
+            init = (batch["init_fuse"], batch["init_label"])
+        else:
+            init = (key_img[0], label[0])
         xs = {"label": label, "back": back, "key_img": key_img,
               "is_key": is_key.reshape(L, 1, 1, 1, 1)}
         _, (fused, masks) = jax.lax.scan(step, init, xs)
         return tm(fused), tm(masks)
 
     return rollout
+
+
+def rollout_chunked(rollout, params_g, stats_g, batch, chunk: int = 64):
+    """Run the autoregressive rollout over an arbitrarily long clip in
+    fixed-size segments, threading the fused-frame carry between them —
+    device memory stays O(chunk), not O(clip length).  Segments are
+    padded to ``chunk`` so there are exactly two compiled shapes."""
+    L = batch["label"].shape[1]
+    if L <= chunk:
+        return rollout(params_g, stats_g, batch)
+
+    fused_parts, mask_parts = [], []
+    init_fuse = None
+    init_label = None
+    for start in range(0, L, chunk):
+        end = min(start + chunk, L)
+        pad = chunk - (end - start)
+
+        def cut(x, time_axis=1):
+            seg = jax.lax.slice_in_dim(x, start, end, axis=time_axis)
+            if pad:
+                last = jax.lax.slice_in_dim(seg, seg.shape[time_axis] - 1,
+                                            seg.shape[time_axis],
+                                            axis=time_axis)
+                reps = [1] * seg.ndim
+                reps[time_axis] = pad
+                seg = jnp.concatenate([seg, jnp.tile(last, reps)],
+                                      axis=time_axis)
+            return seg
+
+        seg_batch = {"label": cut(batch["label"]),
+                     "back": cut(batch["back"]),
+                     "key_img": cut(batch["key_img"]),
+                     "is_key": cut(batch["is_key"], time_axis=0)}
+        if init_fuse is not None:
+            seg_batch["init_fuse"] = init_fuse
+            seg_batch["init_label"] = init_label
+        fused, masks = rollout(params_g, stats_g, seg_batch)
+        valid = end - start
+        fused_parts.append(fused[:, :valid])
+        mask_parts.append(masks[:, :valid])
+        init_fuse = fused[:, valid - 1]
+        init_label = seg_batch["label"][:, valid - 1]
+    return (jnp.concatenate(fused_parts, axis=1),
+            jnp.concatenate(mask_parts, axis=1))

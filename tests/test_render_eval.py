@@ -7,6 +7,7 @@ import io
 
 import h5py
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from PIL import Image
@@ -103,3 +104,30 @@ def test_evaluate_h5_writes_grid_video(hsm_h5, tmp_path):
     import os
     files = os.listdir(vdir)
     assert len(files) == 1 and files[0].startswith("test_clip")
+
+
+def test_chunked_rollout_matches_single_shot():
+    from renderloom.train.gan import make_rollout, rollout_chunked
+
+    cfg = tiny_cfg()
+    gen, _, _, state = create_gan_state(jax.random.PRNGKey(0), cfg,
+                                        height=H, width=W)
+    rollout = make_rollout(gen, cfg)
+    rng = np.random.default_rng(0)
+    L = 11
+    batch = {
+        "label": jnp.asarray(rng.uniform(-1, 1, (1, L, H, W, 22)),
+                             jnp.float32),
+        "back": jnp.asarray(rng.uniform(-1, 1, (1, L, H, W, 3)),
+                            jnp.float32),
+        "key_img": jnp.asarray(rng.uniform(-1, 1, (1, L, H, W, 3)),
+                               jnp.float32),
+        "is_key": jnp.asarray(np.arange(L) % 2 == 0),
+    }
+    f_full, m_full = rollout(state.params_g, state.stats_g, batch)
+    f_chunk, m_chunk = rollout_chunked(rollout, state.params_g,
+                                       state.stats_g, batch, chunk=4)
+    np.testing.assert_allclose(np.asarray(f_chunk), np.asarray(f_full),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_chunk), np.asarray(m_full),
+                               rtol=1e-5, atol=1e-5)
