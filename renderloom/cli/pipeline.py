@@ -35,8 +35,14 @@ def main(argv=None):
         description="renderloom end-to-end interpolation")
     p.add_argument("--frames-dir", type=str, required=True,
                    help="low-FPS keyframe images")
-    p.add_argument("--pose-dir", type=str, required=True,
-                   help="low-FPS openpose JSONs for the same frames")
+    p.add_argument("--pose-dir", type=str, default=None,
+                   help="low-FPS openpose JSONs for the same frames "
+                        "(omit to extract them with --pose-ckpt)")
+    p.add_argument("--pose-ckpt", type=str, default=None,
+                   help="in-framework pose-head checkpoint: extracts "
+                        "poses from --frames-dir when --pose-dir is "
+                        "not given (stage 0)")
+    p.add_argument("--pose-config", type=str, default=None)
     p.add_argument("--motion-ckpt", type=str, required=True)
     p.add_argument("--renderer-ckpt", type=str, required=True)
     p.add_argument("--motion-config", type=str, default=None)
@@ -70,6 +76,29 @@ def main(argv=None):
 
     os.makedirs(args.out_dir, exist_ok=True)
 
+    # ---- stage 0 (optional): in-framework pose extraction -----------
+    pose_dir = args.pose_dir
+    if pose_dir is None:
+        if not args.pose_ckpt:
+            raise SystemExit(
+                "either --pose-dir (external openpose JSONs) or "
+                "--pose-ckpt (in-framework pose head) is required")
+        from renderloom.cli.extract_pose import extract_folder
+        from renderloom.core.config import (PoseNetConfig,
+                                            load_pose_config)
+        from renderloom.train.pose import create_pose_state
+
+        pcfg = load_pose_config(args.pose_config) if args.pose_config \
+            else PoseNetConfig()
+        p_model, _, p_state = create_pose_state(
+            jax.random.PRNGKey(args.seed), pcfg)
+        p_state = ckpt.restore_checkpoint(args.pose_ckpt,
+                                          target=p_state)
+        pose_dir = os.path.join(args.out_dir, "poses")
+        n = extract_folder(p_model, p_state.params, args.frames_dir,
+                           pose_dir, 256, 384)
+        print(f"pose: extracted {n} openpose JSONs to {pose_dir}")
+
     # ---- stage 1: motion upsampling ---------------------------------
     mcfg = load_motion_config(args.motion_config) if args.motion_config \
         else MotionConfig()
@@ -86,7 +115,7 @@ def main(argv=None):
 
     pred_dir = os.path.join(args.out_dir, "Predict_motion")
     lin_dir = os.path.join(args.out_dir, "Linear_motion")
-    interp.interpolate_openpose(args.pose_dir, args.rate, pred_dir,
+    interp.interpolate_openpose(pose_dir, args.rate, pred_dir,
                                 lin_dir)
     print(f"motion: wrote dense poses to {pred_dir}")
 
