@@ -38,7 +38,7 @@ from renderloom.train.gan import make_rollout, rollout_chunked
 
 def evaluate_h5(gen, state, cfg: RendererConfig, reader: HsmReader,
                 max_keyframes: Optional[int] = None,
-                chunk: int = 16, perceptual=None,
+                chunk: int = 64, perceptual=None,
                 video_dir: Optional[str] = None) -> Dict[str, float]:
     """Training-time eval over the h5 test split (evaluator.py:48-147).
 
@@ -47,7 +47,8 @@ def evaluate_h5(gen, state, cfg: RendererConfig, reader: HsmReader,
     (``*_LPIPS``, the BASELINE.md delta metric).  ``video_dir`` writes a
     per-clip Fuse/Mask/Warp/GT/Skeleton grid video — the reference's
     ``gen_videos`` output (evaluator.py:142-143,
-    ``utils/visualize.py:make_video``)."""
+    ``utils/visualize.py:make_video``).  ``chunk`` bounds device memory:
+    the rollout runs in fixed-size segments."""
     rollout = make_rollout(gen, cfg)
     sample_rate = 2
     d = cfg.data
@@ -78,7 +79,8 @@ def evaluate_h5(gen, state, cfg: RendererConfig, reader: HsmReader,
             "key_img": prep["image"][None],
             "is_key": jnp.asarray(np.arange(seq_len) % sample_rate == 0),
         }
-        fused, masks = rollout(state.params_g, state.stats_g, batch)
+        fused, masks = rollout_chunked(rollout, state.params_g,
+                                       state.stats_g, batch, chunk=chunk)
 
         if video_dir:
             from renderloom.utils.visualize import make_grid_video
