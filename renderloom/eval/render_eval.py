@@ -169,26 +169,47 @@ def render_folder(gen, state, cfg: RendererConfig, input_dir: str,
         images[k * rate] = load(p)
     dain = np.stack([load(p) for p in dain_paths[:seq_len]])
 
-    prep = prepare_window(None, jnp.asarray(images), jnp.asarray(dain),
-                          jnp.asarray(poses.astype(np.float32)), d,
-                          train=False)
     # inference background = DAIN frame at t (not t−1): the folder layout
-    # provides per-frame warped backgrounds directly (evaluator.py:246)
+    # provides per-frame warped backgrounds directly (evaluator.py:246).
+    # Long clips: preparation AND rollout run in fixed-size segments with
+    # the fused-frame carry threaded between them — device memory stays
+    # O(chunk) regardless of clip length; frames stream to disk.
     rollout = make_rollout(gen, cfg)
-    batch = {
-        "label": prep["label"][None],
-        "back": prep["back"][None],
-        "key_img": prep["image"][None],
-        "is_key": jnp.asarray(np.arange(seq_len) % rate == 0),
-    }
-    # long clips run in fixed-size segments (device memory O(chunk))
-    fused, _ = rollout_chunked(rollout, state.params_g, state.stats_g,
-                               batch, chunk=64)
-
     os.makedirs(out_dir, exist_ok=True)
-    arr = np.asarray(jnp.clip(fused[0] * 0.5 + 0.5, 0, 1) * 255
-                     ).astype(np.uint8)
-    for i in range(seq_len):
-        Image.fromarray(arr[i]).save(
-            os.path.join(out_dir, f"{i:05d}.png"))
+    is_key_all = np.arange(seq_len) % rate == 0
+    chunk = min(64, seq_len)
+    init_fuse = init_label = None
+    for start in range(0, seq_len, chunk):
+        end = min(start + chunk, seq_len)
+        pad = chunk - (end - start)
+
+        def cut(arr_np):
+            seg = arr_np[start:end]
+            if pad:
+                seg = np.concatenate(
+                    [seg, np.repeat(seg[-1:], pad, axis=0)], axis=0)
+            return seg
+
+        prep = prepare_window(None, jnp.asarray(cut(images)),
+                              jnp.asarray(cut(dain)),
+                              jnp.asarray(cut(poses).astype(np.float32)),
+                              d, train=False)
+        batch = {
+            "label": prep["label"][None],
+            "back": prep["back"][None],
+            "key_img": prep["image"][None],
+            "is_key": jnp.asarray(cut(is_key_all[:, None])[:, 0]),
+        }
+        if init_fuse is not None:
+            batch["init_fuse"] = init_fuse
+            batch["init_label"] = init_label
+        fused, _ = rollout(state.params_g, state.stats_g, batch)
+        valid = end - start
+        arr = np.asarray(jnp.clip(fused[0, :valid] * 0.5 + 0.5, 0, 1)
+                         * 255).astype(np.uint8)
+        for i in range(valid):
+            Image.fromarray(arr[i]).save(
+                os.path.join(out_dir, f"{start + i:05d}.png"))
+        init_fuse = fused[:, valid - 1]
+        init_label = batch["label"][:, valid - 1]
     return seq_len
