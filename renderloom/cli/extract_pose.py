@@ -19,7 +19,7 @@ import numpy as np
 
 from renderloom.core import checkpoint as ckpt
 from renderloom.core.config import PoseNetConfig, load_pose_config
-from renderloom.models.posenet import PoseNet, decode_heatmaps
+from renderloom.models.posenet import decode_heatmaps
 from renderloom.train.pose import create_pose_state
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import csv
 import json
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Sequence
 
 import h5py
 import numpy as np

@@ -26,7 +26,7 @@ Layout: NHWC (TPU-native; the reference is NCHW).  Leaky slope 0.2
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ flagged at load time.  The npz → flax mapping lives in
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ from flax import linen as nn
 
 from renderloom.core.config import GeneratorConfig
 from renderloom.models.layers import (ConvBlock, ResBlockCNACN, SNConv,
-                                      Spade, SpadeResBlock, avg_pool_3x3s2,
+                                      SpadeResBlock, avg_pool_3x3s2,
                                       leaky, upsample2x)
 
 

@@ -27,8 +27,6 @@ interpolator can drop in later (SURVEY.md §7.6).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -26,17 +26,16 @@ optimizer states replicated — XLA inserts the gradient all-reduce.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from renderloom.core.config import RendererConfig
 from renderloom.models.discriminator import DiscriminatorSet
-from renderloom.models.perceptual import PerceptualLoss, VGG19Features
+from renderloom.models.perceptual import PerceptualLoss
 from renderloom.models.renderer import Generator, composite
 from renderloom.train.gan_losses import (feature_matching_loss, gan_loss,
                                          mask_regulation_loss,
