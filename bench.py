@@ -78,9 +78,15 @@ def bench_motion_train(steps: int = 20, warmup: int = 3) -> dict:
     from renderloom.parallel import make_mesh, replicate, shard_batch
     from renderloom.train.motion import create_motion_state, make_train_step
 
-    cfg = MotionConfig(
-        compute_dtype="bfloat16" if jax.default_backend() == "tpu"
-        else "float32")
+    import dataclasses
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = MotionConfig(compute_dtype="bfloat16" if on_tpu else "float32")
+    if not on_tpu:   # CPU fallback: reduced shapes, tagged below
+        cfg = dataclasses.replace(
+            cfg, batch_size=4, dataset=dataclasses.replace(
+                cfg.dataset, max_seq_length=65))
+        steps, warmup = 5, 1
     mesh = make_mesh()
     model, tx, state = create_motion_state(jax.random.PRNGKey(0), cfg)
     state = replicate(mesh, state)
@@ -101,9 +107,12 @@ def bench_motion_train(steps: int = 20, warmup: int = 3) -> dict:
         state, metrics = step(state, batch)
     jax.block_until_ready(metrics)
     wall = time.perf_counter() - tic
-    return {"metric": "motion_train_seqs_per_sec",
-            "value": round(steps * B / wall, 2), "unit": "seq/s",
-            "vs_baseline": 1.0}
+    result = {"metric": "motion_train_seqs_per_sec",
+              "value": round(steps * B / wall, 2), "unit": "seq/s",
+              "vs_baseline": 1.0}
+    if not on_tpu:
+        result["scaled"] = "L=65 B=4 (CPU-reduced shapes)"
+    return result
 
 
 def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
@@ -119,11 +128,21 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
     from renderloom.train.gan import create_gan_state, make_rollout
     from renderloom.train.motion import create_motion_state
 
+    import dataclasses
+
     # bfloat16 compute on the MXU (params/norm statistics stay fp32);
     # CPU bf16 is emulated and slower, so keep fp32 there
-    dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = "bfloat16" if on_tpu else "float32"
     mcfg = MotionConfig(compute_dtype=dtype)
     rcfg = RendererConfig(compute_dtype=dtype)
+    if not on_tpu:
+        # CPU fallback: full 480x320 reference scale never finishes on a
+        # 1-core host — run a reduced shape and tag the JSON as scaled
+        # (numbers are then only comparable CPU-to-CPU at this scale)
+        rcfg = dataclasses.replace(rcfg, data=dataclasses.replace(
+            rcfg.data, model_height=64, model_width=96))
+        rate, keyframes, repeats = 2, 4, 2
     H, W = rcfg.data.model_height, rcfg.data.model_width
 
     m_model, _, m_state = create_motion_state(jax.random.PRNGKey(0), mcfg)
@@ -181,9 +200,12 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
     jax.block_until_ready(out)
     wall = time.perf_counter() - tic
     fps = repeats * L / wall
-    return {"metric": "e2e_interp_frames_per_sec",
-            "value": round(fps, 2), "unit": "frame/s",
-            "vs_baseline": 1.0}
+    result = {"metric": "e2e_interp_frames_per_sec",
+              "value": round(fps, 2), "unit": "frame/s",
+              "vs_baseline": 1.0}
+    if not on_tpu:
+        result["scaled"] = f"{H}x{W} rate{rate} (CPU-reduced shapes)"
+    return result
 
 
 def bench_gan_train(steps: int = 4, warmup: int = 1) -> dict:
@@ -199,9 +221,19 @@ def bench_gan_train(steps: int = 4, warmup: int = 1) -> dict:
     from renderloom.parallel import make_mesh, replicate, shard_batch
     from renderloom.train.gan import create_gan_state, make_gan_train_step
 
+    import dataclasses
+
+    on_tpu = jax.default_backend() == "tpu"
     cfg = RendererConfig(
-        compute_dtype="bfloat16" if jax.default_backend() == "tpu"
-        else "float32")
+        compute_dtype="bfloat16" if on_tpu else "float32")
+    if not on_tpu:   # CPU fallback: reduced shapes, tagged below
+        cfg = dataclasses.replace(
+            cfg, batch_size=2,
+            gen=dataclasses.replace(cfg.gen, num_filters=4,
+                                    max_num_filters=32),
+            data=dataclasses.replace(cfg.data, model_height=64,
+                                     model_width=96, max_frames=3))
+        steps, warmup = 2, 1
     H, W = cfg.data.model_height, cfg.data.model_width
     mesh = make_mesh()
     gen, dis, txs, state = create_gan_state(jax.random.PRNGKey(0), cfg,
@@ -226,9 +258,12 @@ def bench_gan_train(steps: int = 4, warmup: int = 1) -> dict:
         state, metrics = step(state, batch)
     jax.block_until_ready(metrics)
     wall = time.perf_counter() - tic
-    return {"metric": "gan_train_windows_per_sec",
-            "value": round(steps * B / wall, 3), "unit": "window/s",
-            "vs_baseline": 1.0}
+    result = {"metric": "gan_train_windows_per_sec",
+              "value": round(steps * B / wall, 3), "unit": "window/s",
+              "vs_baseline": 1.0}
+    if not on_tpu:
+        result["scaled"] = f"{H}x{W} small-gen (CPU-reduced shapes)"
+    return result
 
 
 def main():
