@@ -8,8 +8,8 @@ scale (d_model 128 6+6 transformer; 16→512-filter generator; 480×320
 frames, ``configs/HSM.yaml:189-193``) and upsample rate 4.
 
 The reference publishes no numbers (its per-iteration wall time is the
-only observable — BASELINE.md), so ``vs_baseline`` reports against the
-``published`` table in BASELINE.json when an entry exists, else 1.0.
+only observable — BASELINE.md), so ``vs_baseline`` is null until a real
+``published`` entry exists in BASELINE.json to compare against.
 
 Select other metrics with BENCH_METRIC=motion_train|e2e.
 Run: python bench.py   (axon TPU on the driver host; CPU under
@@ -109,7 +109,7 @@ def bench_motion_train(steps: int = 20, warmup: int = 3) -> dict:
     wall = time.perf_counter() - tic
     result = {"metric": "motion_train_seqs_per_sec",
               "value": round(steps * B / wall, 2), "unit": "seq/s",
-              "vs_baseline": 1.0}
+              "vs_baseline": None}
     if not on_tpu:
         result["scaled"] = "L=65 B=4 (CPU-reduced shapes)"
     return result
@@ -202,7 +202,7 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
     fps = repeats * L / wall
     result = {"metric": "e2e_interp_frames_per_sec",
               "value": round(fps, 2), "unit": "frame/s",
-              "vs_baseline": 1.0}
+              "vs_baseline": None}
     if not on_tpu:
         result["scaled"] = f"{H}x{W} rate{rate} (CPU-reduced shapes)"
     return result
@@ -260,7 +260,7 @@ def bench_gan_train(steps: int = 4, warmup: int = 1) -> dict:
     wall = time.perf_counter() - tic
     result = {"metric": "gan_train_windows_per_sec",
               "value": round(steps * B / wall, 3), "unit": "window/s",
-              "vs_baseline": 1.0}
+              "vs_baseline": None}
     if not on_tpu:
         result["scaled"] = f"{H}x{W} small-gen (CPU-reduced shapes)"
     return result

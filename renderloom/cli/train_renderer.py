@@ -60,6 +60,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--allow-random-vgg", action="store_true",
+                   help="proceed without pretrained VGG19 weights (the "
+                        "perceptual loss then uses random features — NOT "
+                        "the reference objective)")
     p.add_argument("--steps-per-epoch", type=int, default=20,
                    help="synthetic mode only")
     p.add_argument("--height", type=int, default=None,
@@ -122,7 +126,10 @@ def main(argv=None):
         print(f"resumed at step {int(state.step)}")
 
     state = replicate(mesh, state)
-    perceptual = PerceptualLoss()
+    # hard-fail on the silent random-feature fallback: synthetic smoke
+    # runs are exempt (they never claim reference parity)
+    perceptual = PerceptualLoss(
+        require_pretrained=not (args.allow_random_vgg or args.synthetic))
     # fused Pallas rasterization on TPU; vmapped jnp path elsewhere.
     # prep runs INSIDE the jitted step: raw uint8 windows ship to device
     # (~30x less transfer than prepared labels), augmentation +

@@ -16,9 +16,13 @@ def enable_compile_cache(cache_dir: str | None = None) -> str:
     # restore standard JAX env behavior: this image's sitecustomize
     # force-sets jax_platforms to the tunneled TPU at interpreter start,
     # ignoring the user's JAX_PLATFORMS — re-pin it here so
-    # `JAX_PLATFORMS=cpu python -m renderloom.cli...` works as documented
+    # `JAX_PLATFORMS=cpu python -m renderloom.cli...` works as documented.
+    # sitecustomize also exports JAX_PLATFORMS=axon unconditionally, so
+    # "axon" means "no user override": re-pinning it would clobber an
+    # explicit earlier jax.config.update("jax_platforms", "cpu") by the
+    # caller (the round-1 dryrun timeout).
     env_platforms = os.environ.get("JAX_PLATFORMS")
-    if env_platforms:
+    if env_platforms and env_platforms != "axon":
         try:
             jax.config.update("jax_platforms", env_platforms)
         except Exception:

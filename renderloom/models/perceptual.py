@@ -88,6 +88,33 @@ def load_torchvision_npz(path: str) -> Dict:
     return {"params": params}
 
 
+def load_torchvision_pth(path: str) -> Dict:
+    """torchvision ``vgg19`` checkpoint (``.pth``, e.g. the official
+    ``vgg19-dcbb9e9d.pth`` download) → flax params, torch-free
+    (renderloom.data.torch_import).  Accepts either a full-model state
+    dict (``features.N.*`` + ``classifier.*``) or a bare ``.features``
+    one (``N.weight``)."""
+    from renderloom.data.torch_import import flatten_state_dict, read_pth
+
+    state = flatten_state_dict(read_pth(path))
+    params = {}
+    for name, idx in TORCHVISION_CONV_IDX.items():
+        for wkey, bkey in ((f"features.{idx}.weight",
+                            f"features.{idx}.bias"),
+                           (f"{idx}.weight", f"{idx}.bias")):
+            if wkey in state:
+                params[name] = {
+                    "kernel": np.transpose(state[wkey], (2, 3, 1, 0)),
+                    "bias": state[bkey],
+                }
+                break
+    if len(params) != len(TORCHVISION_CONV_IDX):
+        raise ValueError(
+            f"{path}: found {len(params)}/16 VGG19 conv layers — not a "
+            "torchvision vgg19 state dict")
+    return {"params": params}
+
+
 def find_vgg_weights() -> Optional[str]:
     cands = [os.environ.get("VGG19_NPZ", ""),
              "data/vgg19_features.npz",
@@ -105,14 +132,26 @@ class PerceptualLoss:
 
     def __init__(self, layers: Sequence[str] = DEFAULT_LAYERS,
                  weights: Sequence[float] = DEFAULT_WEIGHTS,
-                 weights_path: Optional[str] = None):
+                 weights_path: Optional[str] = None,
+                 require_pretrained: bool = False):
         self.layers = tuple(layers)
         self.weights = tuple(weights)
         self.model = VGG19Features(self.layers)
         path = weights_path or find_vgg_weights()
         if path:
-            self.variables = load_torchvision_npz(path)
+            self.variables = (load_torchvision_pth(path)
+                              if path.endswith((".pth", ".pt"))
+                              else load_torchvision_npz(path))
             self.pretrained = True
+        elif require_pretrained:
+            raise RuntimeError(
+                "PerceptualLoss: no pretrained VGG19 weights found. The "
+                "×10-weighted perceptual term would train against RANDOM "
+                "features — not the reference objective "
+                "(Pose_Guided_Neural_Rendering/models/losses.py:222-277). "
+                "Provide weights via VGG19_NPZ=<path to vgg19_features.npz "
+                "or torchvision vgg19 .pth>, or pass --allow-random-vgg "
+                "to proceed anyway.")
         else:
             key = jax.random.PRNGKey(0)
             dummy = jnp.zeros((1, 64, 64, 3))

@@ -1,0 +1,307 @@
+"""Torch-free .pth importer: round-trips vs real torch.save (both
+serialization formats), safety, name mapping, and — when the reference
+tree + torch are importable — functional parity of the imported motion
+transformer against the reference model itself
+(Human_Motion_Modelling/models/transformer.py).
+"""
+
+import os
+import pickle
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from renderloom.core.config import (MotionConfig, MotionDatasetConfig,
+                                    PosEncodeConfig, TransformerConfig)
+from renderloom.data.torch_import import (flatten_state_dict,
+                                          map_motion_params, read_pth,
+                                          strip_module_prefix,
+                                          vgg19_state_to_npz)
+from renderloom.models.motion_transformer import build_motion_model
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference/Human_Motion_Modelling"
+
+
+def _sample_state():
+    g = torch.Generator().manual_seed(0)
+    return {
+        "w.float": torch.randn(3, 4, generator=g),
+        "w.half": torch.randn(8, generator=g).half(),
+        "w.double": torch.randn(2, 2, generator=g).double(),
+        "w.long": torch.arange(6).reshape(2, 3),
+        "w.bool": torch.tensor([True, False, True]),
+        "w.scalar": torch.tensor(3.25),
+        # non-contiguous: stride/offset handling
+        "w.t": torch.randn(5, 7, generator=g).t(),
+        "w.slice": torch.randn(10, generator=g)[2:9:2],
+    }
+
+
+@pytest.mark.parametrize("zipfmt", [True, False],
+                         ids=["zip", "legacy"])
+def test_read_pth_roundtrip(tmp_path, zipfmt):
+    state = _sample_state()
+    path = str(tmp_path / "ckpt.pth")
+    torch.save(state, path, _use_new_zipfile_serialization=zipfmt)
+    loaded = read_pth(path)
+    assert set(loaded) == set(state)
+    for k, v in state.items():
+        got = loaded[k]
+        ref = v.detach().numpy()
+        assert got.shape == ref.shape, k
+        if v.dtype == torch.float16:
+            assert got.dtype == np.float16
+        np.testing.assert_array_equal(got, ref, err_msg=k)
+
+
+def test_read_pth_nested_envelope(tmp_path):
+    # reference opt checkpoints nest dicts (trainer.py:221-225)
+    path = str(tmp_path / "opt.pth")
+    torch.save({"transformer": {"lr": torch.tensor(1e-4),
+                                "step": torch.tensor(7)}}, path)
+    loaded = read_pth(path)
+    assert float(loaded["transformer"]["lr"]) == pytest.approx(1e-4)
+    assert int(loaded["transformer"]["step"]) == 7
+
+
+class _Evil:
+    def __reduce__(self):
+        return (os.system, ("true",))
+
+
+def test_read_pth_blocks_arbitrary_code(tmp_path):
+    path = str(tmp_path / "evil.pth")
+    torch.save({"x": _Evil()}, path)
+    with pytest.raises(pickle.UnpicklingError):
+        read_pth(path)
+
+
+def test_strip_module_prefix():
+    # DataParallel tolerance (utils/utils.py:64-68)
+    out = strip_module_prefix({"module.a.weight": 1, "b.bias": 2})
+    assert out == {"a.weight": 1, "b.bias": 2}
+
+
+def test_flatten_state_dict_envelope():
+    arr = np.zeros(3)
+    flat = flatten_state_dict({"state_dict": {"module.w": arr}})
+    assert list(flat) == ["w"]
+
+
+def _tiny_cfg(d=16, heads=2, layers=2, ffn=32):
+    return MotionConfig(
+        transformer=TransformerConfig(hidden_dim=d, nheads=heads,
+                                      dim_feedforward=ffn,
+                                      enc_layers=layers, dec_layers=layers,
+                                      dropout=0.0),
+        pos_encode=PosEncodeConfig(hidden_dim=d),
+        dataset=MotionDatasetConfig(max_seq_length=17, train_sample_rate=8,
+                                    train_sample_size=4),
+    )
+
+
+def _reference_style_state(d=16, layers=2, ffn=32, joints=38, seed=0):
+    """Random state dict with the reference transformer's exact key
+    schema (transformer.py + torch nn.MultiheadAttention/LayerNorm)."""
+    rng = np.random.default_rng(seed)
+    st = {}
+
+    def lin(name, i, o):
+        st[f"{name}.weight"] = rng.normal(0, 0.2, (o, i)).astype(np.float32)
+        st[f"{name}.bias"] = rng.normal(0, 0.1, (o,)).astype(np.float32)
+
+    def norm(name):
+        st[f"{name}.weight"] = rng.normal(1, 0.05, (d,)).astype(np.float32)
+        st[f"{name}.bias"] = rng.normal(0, 0.05, (d,)).astype(np.float32)
+
+    def attn(name):
+        st[f"{name}.in_proj_weight"] = rng.normal(
+            0, 0.2, (3 * d, d)).astype(np.float32)
+        st[f"{name}.in_proj_bias"] = rng.normal(
+            0, 0.1, (3 * d,)).astype(np.float32)
+        lin(f"{name}.out_proj", d, d)
+
+    lin("input_embed", joints, d)
+    lin("joints_embed", d, joints)
+    norm("encoder.norm")
+    norm("decoder.norm")
+    for i in range(layers):
+        attn(f"encoder.layers.{i}.self_attn")
+        lin(f"encoder.layers.{i}.linear1", d, ffn)
+        lin(f"encoder.layers.{i}.linear2", ffn, d)
+        norm(f"encoder.layers.{i}.norm1")
+        norm(f"encoder.layers.{i}.norm2")
+        attn(f"decoder.layers.{i}.self_attn")
+        attn(f"decoder.layers.{i}.multihead_attn")
+        lin(f"decoder.layers.{i}.linear1", d, ffn)
+        lin(f"decoder.layers.{i}.linear2", ffn, d)
+        norm(f"decoder.layers.{i}.norm1")
+        norm(f"decoder.layers.{i}.norm2")
+        norm(f"decoder.layers.{i}.norm3")
+    return st
+
+
+def test_map_motion_params_matches_init_tree():
+    import jax.numpy as jnp
+
+    cfg = _tiny_cfg()
+    model = build_motion_model(cfg)
+    L, C = 17, cfg.transformer.input_joints
+    src = jnp.zeros((1, L, C))
+    mask = jnp.zeros((1, L), bool)
+    init = model.init(jax.random.PRNGKey(0), src, mask, src, mask, 8)
+    mapped = map_motion_params(_reference_style_state())
+
+    init_shapes = jax.tree.map(lambda x: x.shape, init["params"])
+    mapped_shapes = jax.tree.map(lambda x: x.shape, mapped)
+    assert init_shapes == mapped_shapes
+
+    out, reco = model.apply({"params": mapped}, src + 0.1, mask,
+                            src + 0.1, mask, 8, deterministic=True)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(reco)).all()
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                    reason="reference tree not present")
+def test_motion_import_parity_vs_reference(tmp_path):
+    """Load a (random-weight) reference-format checkpoint through the
+    torch-free importer and check the renderloom transformer produces the
+    same outputs as the reference torch model — validating both the
+    importer mapping and the reimplementation in one shot."""
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        from models.transformer import build_transformer
+    finally:
+        sys.path.remove(REFERENCE)
+
+    d, layers, ffn, heads, joints = 16, 2, 32, 2, 38
+
+    class RefCfg:
+        input_joints = joints
+        hidden_dim = d
+        dropout = 0.0
+        nheads = heads
+        dim_feedforward = ffn
+        enc_layers = layers
+        dec_layers = layers
+        activation = "leaky_relu"
+        pre_norm = True
+        intermediate = False
+        two_stage = True
+
+    torch.manual_seed(0)
+    ref = build_transformer(RefCfg()).eval()
+
+    # save through real torch in the LEGACY format the published
+    # checkpoints use (torch 1.3/1.4 era), read back torch-free
+    path = str(tmp_path / "model_epoch000.pth")
+    torch.save(ref.state_dict(), path,
+               _use_new_zipfile_serialization=False)
+    params = map_motion_params(flatten_state_dict(read_pth(path)))
+
+    cfg = _tiny_cfg(d=d, heads=heads, layers=layers, ffn=ffn)
+    model = build_motion_model(cfg)
+
+    rng = np.random.default_rng(1)
+    B, L, rate = 2, 17, 8
+    src = rng.normal(0, 0.5, (B, L, joints)).astype(np.float32)
+    pad = np.zeros((B, L), bool)
+    pad[1, 13:] = True  # one padded sample
+
+    # reference: N×C×L input, L×N×C sine PE from the mask
+    sys.path.insert(0, REFERENCE)
+    try:
+        from models.position_encoding import build_position_encoding
+
+        class PECfg:
+            hidden_dim = d
+            position_embedding = "sine"
+            max_seq_length = L
+
+        pe = build_position_encoding(PECfg())
+    finally:
+        sys.path.remove(REFERENCE)
+
+    t_src = torch.from_numpy(src).permute(0, 2, 1)
+    t_pad = torch.from_numpy(pad)
+    with torch.no_grad():
+        t_pos = pe(t_pad)
+        t_joints, t_reco = ref(t_src, t_pad, t_pos, t_src, t_pad,
+                               t_pos, rate)
+    ref_joints = t_joints.numpy().transpose(1, 0, 2)   # L,N,C -> N,L,C
+    ref_reco = t_reco.numpy().transpose(1, 0, 2)
+
+    out, reco = model.apply({"params": params}, jnp.asarray(src),
+                            jnp.asarray(pad), jnp.asarray(src),
+                            jnp.asarray(pad), rate, deterministic=True)
+    np.testing.assert_allclose(np.asarray(reco), ref_reco,
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(out), ref_joints,
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_vgg19_state_to_npz_roundtrip(tmp_path):
+    from renderloom.models.perceptual import (TORCHVISION_CONV_IDX,
+                                              load_torchvision_npz)
+
+    rng = np.random.default_rng(0)
+    state = {}
+    chans = {1: 64, 2: 128, 3: 256, 4: 512, 5: 512}
+    prev = 3
+    for name, idx in sorted(TORCHVISION_CONV_IDX.items(),
+                            key=lambda kv: kv[1]):
+        ch = chans[int(name.split("_")[1])]
+        state[f"features.{idx}.weight"] = rng.normal(
+            0, 0.1, (ch, prev, 3, 3)).astype(np.float32)
+        state[f"features.{idx}.bias"] = rng.normal(
+            0, 0.1, (ch,)).astype(np.float32)
+        prev = ch
+    path = str(tmp_path / "vgg19_features.npz")
+    n = vgg19_state_to_npz(state, path)
+    assert n == 16
+    params = load_torchvision_npz(path)["params"]
+    assert set(params) == set(TORCHVISION_CONV_IDX)
+    w = params["conv_1_1"]["kernel"]
+    assert w.shape == (3, 3, 3, 64)  # HWIO
+    np.testing.assert_allclose(
+        w, state["features.0.weight"].transpose(2, 3, 1, 0))
+
+
+def test_perceptual_requires_pretrained(tmp_path, monkeypatch):
+    from renderloom.models.perceptual import PerceptualLoss
+
+    monkeypatch.delenv("VGG19_NPZ", raising=False)
+    monkeypatch.chdir(tmp_path)  # hide any repo-local npz
+    with pytest.raises(RuntimeError, match="allow-random-vgg"):
+        PerceptualLoss(require_pretrained=True)
+
+
+def test_perceptual_loads_torchvision_pth(tmp_path):
+    from renderloom.models.perceptual import (TORCHVISION_CONV_IDX,
+                                              PerceptualLoss)
+
+    g = torch.Generator().manual_seed(0)
+    state = {}
+    chans = {1: 64, 2: 128, 3: 256, 4: 512, 5: 512}
+    prev = 3
+    for name, idx in sorted(TORCHVISION_CONV_IDX.items(),
+                            key=lambda kv: kv[1]):
+        ch = chans[int(name.split("_")[1])]
+        state[f"features.{idx}.weight"] = torch.randn(
+            ch, prev, 3, 3, generator=g) * 0.1
+        state[f"features.{idx}.bias"] = torch.randn(ch, generator=g) * 0.1
+        prev = ch
+    path = str(tmp_path / "vgg19-dcbb9e9d.pth")
+    torch.save(state, path)
+    p = PerceptualLoss(weights_path=path, require_pretrained=True)
+    assert p.pretrained
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    val = float(p(x, x + 0.1))
+    assert np.isfinite(val) and val > 0
