@@ -94,18 +94,22 @@ class AmassReader:
 
     def batches(self, rng: np.random.Generator, batch_size: int,
                 max_len: int, rate: int, shuffle: bool = True,
-                drop_last: bool = True) -> Iterator[dict]:
+                drop_last: bool = True, process_index: int = None,
+                process_count: int = None) -> Iterator[dict]:
         """Yield raw batches {"motion3d": (B,52,3,L), "pad_mask": (B,L)}.
 
         Multi-host: every process draws the same shuffled order (seeded
         rng) and keeps its strided slice, so hosts read disjoint samples
-        (``parallel.process_shard``); ``batch_size`` is per-process."""
+        (``parallel.process_shard``); ``batch_size`` is per-process.
+        ``process_index``/``process_count`` override jax's process info
+        (testing / external launchers)."""
         from renderloom.parallel import process_shard
 
         order = np.arange(len(self.samples))
         if shuffle:
             rng.shuffle(order)
-        order = order[process_shard(len(order))]
+        order = order[process_shard(len(order), process_index,
+                                    process_count)]
         motions, masks = [], []
         for idx in order:
             data = self.read_motion(*self.samples[idx])

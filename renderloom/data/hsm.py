@@ -122,16 +122,20 @@ class HsmReader:
         }
 
     def batches(self, rng: np.random.Generator, batch_size: int,
-                shuffle: bool = True, drop_last: bool = True):
+                shuffle: bool = True, drop_last: bool = True,
+                process_index: int = None, process_count: int = None):
         """Multi-host: same shuffled order on every process (seeded rng),
         each keeps its strided slice → disjoint reads; ``batch_size`` is
-        per-process (``parallel.process_shard``)."""
+        per-process (``parallel.process_shard``).  ``process_index``/
+        ``process_count`` override jax's process info (testing /
+        external launchers)."""
         from renderloom.parallel import process_shard
 
         order = np.arange(len(self.samples))
         if shuffle:
             rng.shuffle(order)
-        order = order[process_shard(len(order))]
+        order = order[process_shard(len(order), process_index,
+                                    process_count)]
         buf = []
         for idx in order:
             buf.append(self.read_window(*self.samples[idx]))

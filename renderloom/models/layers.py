@@ -369,3 +369,161 @@ def upsample2x(x: jax.Array) -> jax.Array:
     generator.py:128)."""
     B, H, W, C = x.shape
     return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="nearest")
+
+
+class LayerNorm2d(nn.Module):
+    """Per-sample layer norm over ALL of (H, W, C) with per-channel
+    affine (activation_norm.py:329-374 in the reference's layer library,
+    unused by the shipped configs).  Matches the reference's unbiased
+    (ddof=1) std and its γ ~ U[0,1) init."""
+
+    eps: float = 1e-5
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        B = x.shape[0]
+        flat = x.reshape(B, -1).astype(jnp.float32)
+        mean = flat.mean(axis=1)
+        std = flat.std(axis=1, ddof=1)
+        shape = (B,) + (1,) * (x.ndim - 1)
+        out = (x - mean.reshape(shape)) / (std.reshape(shape) + self.eps)
+        if self.affine:
+            C = x.shape[-1]
+            gamma = self.param("gamma", nn.initializers.uniform(scale=1.0),
+                               (C,))
+            beta = self.param("beta", nn.initializers.zeros, (C,))
+            out = out * gamma + beta
+        return out.astype(x.dtype)
+
+
+class HyperSpade(nn.Module):
+    """SPADE whose first condition's affine conv weights may be supplied
+    externally per-sample (activation_norm.py:237-326 — the 'hyper'
+    variant, unused by the shipped configs).
+
+    ``cond_inputs`` is a sequence whose elements are either a condition
+    map or a ``(condition, mask)`` pair; masked conditions have their
+    (γ, β) gated by ``1 - mask`` as in the reference.  ``norm_weights``
+    = (kernel (B,kh,kw,Cin,2C), bias (B,2C) or None) routes condition 0
+    through :func:`hyper_conv2d`; otherwise condition 0 gets a regular
+    learned conv like the rest."""
+
+    features: int
+    kernel: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond_inputs, norm_weights=None):
+        out = instance_norm(x)
+        B, H, W, _ = x.shape
+        for i, ci in enumerate(cond_inputs):
+            if ci is None:
+                continue
+            cond, mask = ci if isinstance(ci, (tuple, list)) else (ci, None)
+            if cond.shape[1] != H or cond.shape[2] != W:
+                cond = jax.image.resize(
+                    cond, (cond.shape[0], H, W, cond.shape[-1]),
+                    method="nearest")
+            if i == 0 and norm_weights is not None:
+                kern, bias = norm_weights
+                affine = hyper_conv2d(cond, kern, bias)
+            else:
+                affine = nn.Conv(2 * self.features,
+                                 (self.kernel, self.kernel),
+                                 padding="SAME", dtype=self.dtype,
+                                 param_dtype=jnp.float32,
+                                 name=f"affine_{i}")(cond)
+            gamma, beta = jnp.split(affine, 2, axis=-1)
+            if mask is not None:
+                if mask.shape[1] != H or mask.shape[2] != W:
+                    mask = jax.image.resize(
+                        mask, (mask.shape[0], H, W, mask.shape[-1]),
+                        method="linear")
+                gamma = gamma * (1.0 - mask)
+                beta = beta * (1.0 - mask)
+            out = out * (1.0 + gamma) + beta
+        return out
+
+
+class PartialConvBlock(nn.Module):
+    """'CNA' block over a partial conv, threading the validity mask —
+    the explicit-module equivalent of the reference's multi-output conv
+    block machinery (conv.py:806-917 ``MultiOutConv2dBlock``, whose only
+    multi-output member is PartialConv2d's mask)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    norm: str = "instance"          # 'instance' | 'none'
+    activation: str = "leaky"       # 'leaky' | 'none'
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        x, mask = PartialConv(self.features, self.kernel, self.stride,
+                              dtype=self.dtype, name="pconv")(x, mask)
+        if self.norm == "instance":
+            x = InstanceNorm(name="norm")(x)
+        if self.activation == "leaky":
+            x = leaky(x)
+        return x, mask
+
+
+class PartialResBlock(nn.Module):
+    """Residual block of partial convolutions, order 'CNACNA', threading
+    the validity mask through both convs (residual.py:881-1111
+    ``PartialRes2d/3dBlock``; unused by the shipped configs).  The
+    shortcut is identity when channels match, else a 1×1 partial conv
+    (masked shortcut as in the reference's ``learn_shortcut`` path)."""
+
+    features: int
+    kernel: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        h, m = PartialConv(self.features, self.kernel,
+                           dtype=self.dtype, name="pconv0")(x, mask)
+        h = leaky(InstanceNorm(name="norm0")(h))
+        h, m = PartialConv(self.features, self.kernel,
+                           dtype=self.dtype, name="pconv1")(h, m)
+        h = leaky(InstanceNorm(name="norm1")(h))
+        if x.shape[-1] != self.features:
+            s, _ = PartialConv(self.features, 1, dtype=self.dtype,
+                               name="pconv_s")(x, mask)
+        else:
+            s = x
+        return s + h, m
+
+
+class PartialConv3d(nn.Module):
+    """3D partial convolution over NDHWC volumes (conv.py:927-1072
+    ``PartialConv3d``; unused by the shipped configs — carried for layer
+    -library parity).  Same mask-renormalization rule as 2D."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        k, s = self.kernel, self.stride
+        conv = nn.Conv(self.features, (k, k, k), strides=(s, s, s),
+                       padding="SAME", use_bias=False, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="conv")
+        raw = conv(x * mask)
+        ones_kernel = jnp.ones((k, k, k, 1, 1), raw.dtype)
+        valid = jax.lax.conv_general_dilated(
+            mask.astype(raw.dtype), ones_kernel, (s, s, s), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        ratio = jnp.where(valid > 0,
+                          (k ** 3) / jnp.maximum(valid, 1e-8), 0.0)
+        out = raw * ratio
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            out = jnp.where(valid > 0, out + bias, 0.0)
+        return out, (valid > 0).astype(mask.dtype)

@@ -139,3 +139,90 @@ def test_masked_mse_normalization():
     assert float(masked_mse(pred, mask, target)) == 1.0
     pred = pred.at[0, :, 0].set(3.0)   # squared error 9 on one timestep
     assert float(masked_mse(pred, mask, target)) == 5.0
+
+
+def test_layernorm2d_matches_reference_formula():
+    from renderloom.models.layers import LayerNorm2d
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(1.5, 2.0, (3, 4, 5, 6)).astype(np.float32)
+    mod = LayerNorm2d(affine=False)
+    out = np.asarray(mod.apply({}, jnp.asarray(x)))
+    # reference (activation_norm.py:355-374): per-sample mean/std over
+    # everything, unbiased std
+    flat = x.reshape(3, -1)
+    expected = (x - flat.mean(1).reshape(3, 1, 1, 1)) / (
+        flat.std(1, ddof=1).reshape(3, 1, 1, 1) + 1e-5)
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+
+    mod_affine = LayerNorm2d()
+    v = mod_affine.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out2 = mod_affine.apply(v, jnp.asarray(x))
+    assert out2.shape == x.shape
+
+
+def test_hyper_spade_hyper_weights_and_masked_cond():
+    from renderloom.models.layers import HyperSpade
+
+    rng = np.random.default_rng(0)
+    B, H, W, C = 2, 8, 8, 4
+    x = jnp.asarray(rng.normal(0, 1, (B, H, W, C)), jnp.float32)
+    cond0 = jnp.asarray(rng.normal(0, 1, (B, 4, 4, 3)), jnp.float32)
+    cond1 = jnp.asarray(rng.normal(0, 1, (B, H, W, 5)), jnp.float32)
+    mask1 = jnp.ones((B, H, W, 1), jnp.float32)
+
+    mod = HyperSpade(features=C, kernel=3)
+    kern = jnp.asarray(rng.normal(0, 0.1, (B, 3, 3, 3, 2 * C)),
+                       jnp.float32)
+    bias = jnp.zeros((B, 2 * C), jnp.float32)
+    v = mod.init(jax.random.PRNGKey(0), x, [cond0, (cond1, mask1)],
+                 norm_weights=(kern, bias))
+    out = mod.apply(v, x, [cond0, (cond1, mask1)],
+                    norm_weights=(kern, bias))
+    assert out.shape == x.shape
+    # fully-masked condition contributes nothing: γ,β gated by (1-mask)
+    out_nomask = mod.apply(v, x, [cond0, None], norm_weights=(kern, bias))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_nomask),
+                               atol=1e-5)
+
+
+def test_partial_conv_block_and_res_block_thread_masks():
+    from renderloom.models.layers import PartialConvBlock, PartialResBlock
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 3)), jnp.float32)
+    mask = jnp.ones((2, 8, 8, 1), jnp.float32)
+    mask = mask.at[:, :4].set(0.0)
+
+    blk = PartialConvBlock(features=6)
+    v = blk.init(jax.random.PRNGKey(0), x, mask)
+    out, m2 = blk.apply(v, x, mask)
+    assert out.shape == (2, 8, 8, 6)
+    assert m2.shape == mask.shape
+    assert float(m2.max()) == 1.0 and float(m2.min()) == 0.0
+
+    res = PartialResBlock(features=6)
+    v = res.init(jax.random.PRNGKey(1), x, mask)
+    out, m2 = res.apply(v, x, mask)
+    assert out.shape == (2, 8, 8, 6)
+    # mask dilates by one conv receptive field per layer
+    assert float(m2.sum()) >= float(mask.sum())
+
+
+def test_partial_conv3d_shapes_and_mask():
+    from renderloom.models.layers import PartialConv3d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (1, 4, 8, 8, 3)), jnp.float32)
+    mask = jnp.ones((1, 4, 8, 8, 1), jnp.float32)
+    mask = mask.at[:, :2].set(0.0)
+    mod = PartialConv3d(features=5)
+    v = mod.init(jax.random.PRNGKey(0), x, mask)
+    out, m2 = mod.apply(v, x, mask)
+    assert out.shape == (1, 4, 8, 8, 5)
+    assert m2.shape == mask.shape
+    # depth 0's 3-window never reaches a valid voxel -> stays zero;
+    # depth 1 touches valid depth 2 -> dilated into
+    assert float(jnp.abs(out[0, 0]).max()) == 0.0
+    assert float(jnp.abs(out[0, 1]).max()) > 0
+    assert float(m2.sum()) > float(mask.sum())
