@@ -381,3 +381,189 @@ def vgg19_state_to_npz(state: Dict[str, np.ndarray], npz_path: str) -> int:
     os.makedirs(os.path.dirname(npz_path) or ".", exist_ok=True)
     np.savez(npz_path, **arrays)
     return n
+
+
+# --------------------------------------------------------------------
+# renderer netG / netD: reference names -> renderloom pytrees
+# --------------------------------------------------------------------
+
+def _set(tree: Dict, path, leaf):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = leaf
+
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    """torch OIHW -> flax HWIO."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _spectral_effective(state: Dict[str, np.ndarray], src: str):
+    """Resolve a torch spectral-norm conv to its effective weight.
+
+    torch stores ``weight_orig`` + power-iteration ``weight_u/v`` and
+    divides by ``sigma = u^T W v`` at every forward (eval included).  We
+    bake that division in (flax SpectralNorm then re-estimates sigma ~= 1
+    from the imported ``u``, so inference matches the reference)."""
+    w = state[f"{src}.weight_orig"].astype(np.float64)
+    u = state[f"{src}.weight_u"].astype(np.float64)
+    v = state[f"{src}.weight_v"].astype(np.float64)
+    sigma = float(u @ (w.reshape(w.shape[0], -1) @ v))
+    w_eff = (w / sigma).astype(np.float32)
+    return _conv_w(w_eff), state[f"{src}.bias"].copy(), \
+        u.astype(np.float32)
+
+
+def _put_sn_conv(params: Dict, stats: Dict, dst_path, state, src):
+    """Spectral conv -> ``<dst>/conv/{kernel,bias}`` params +
+    ``<dst>/sn/{conv/kernel/u, conv/kernel/sigma}`` batch stats (flax
+    SpectralNorm variable layout)."""
+    kernel, bias, u = _spectral_effective(state, src)
+    _set(params, list(dst_path) + ["conv", "kernel"], kernel)
+    _set(params, list(dst_path) + ["conv", "bias"], bias)
+    _set(stats, list(dst_path) + ["sn", "conv/kernel/u"],
+         u.reshape(1, -1))
+    _set(stats, list(dst_path) + ["sn", "conv/kernel/sigma"],
+         np.asarray(1.0, np.float32))
+
+
+def _put_plain_conv(params: Dict, dst_path, state, src):
+    _set(params, list(dst_path) + ["kernel"], _conv_w(state[f"{src}.weight"]))
+    _set(params, list(dst_path) + ["bias"], state[f"{src}.bias"].copy())
+
+
+def _put_instance_norm(params: Dict, dst_path, state, src):
+    _set(params, list(dst_path) + ["scale"], state[f"{src}.weight"].copy())
+    _set(params, list(dst_path) + ["bias"], state[f"{src}.bias"].copy())
+
+
+def _indices(state: Dict, prefix: str, pattern: str) -> list:
+    """Sorted distinct N where f'{prefix}{pattern}'.format(N) prefixes a
+    key; pattern contains '{}'."""
+    import re
+
+    rx = re.compile(re.escape(prefix) + pattern.replace(
+        "{}", r"(\d+)") + r"\.")
+    found = {int(m.group(1)) for k in state
+             if (m := rx.match(k)) is not None}
+    return sorted(found)
+
+
+def map_generator_params(state: Dict[str, np.ndarray]):
+    """``netG_epochNNN.pth`` -> (params_g, stats_g) for
+    ``renderloom.models.renderer.Generator``.
+
+    Reference schema: ``Pose_Guided_Neural_Rendering/models/generator.py``
+    — ``ref_embedding`` LabelEmbedder, ``down_first`` plain conv,
+    ``down_N/res_N/up_N`` SPADE res blocks (``conv_block_{0,1,s}`` each
+    with a SPADE ``norm.mlps.0`` affine conv), ``conv_img`` head, and the
+    MaskGenerator instance ``flow_network_temp`` (dual encoder
+    ``down_lbl/down_img``, ``res_flow`` CNACN blocks, ``up_flow``
+    upsample+conv pairs, 1ch ``conv_mask``).  ``label_embedding`` and the
+    top-level ``conv_mask`` are dead code in the reference forward
+    (generator.py:196-229 comments) and are skipped.
+    """
+    state = strip_module_prefix(state)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # LabelEmbedder (generator.py:306-410)
+    _put_sn_conv(params, stats, ["ref_embed", "conv_first"], state,
+                 "ref_embedding.conv_first.layers.conv")
+    for i in _indices(state, "ref_embedding.", "down_{}"):
+        _put_sn_conv(params, stats, ["ref_embed", f"down_{i}"], state,
+                     f"ref_embedding.down_{i}.layers.conv")
+
+    _put_plain_conv(params, ["down_first"], state,
+                    "down_first.layers.conv")
+
+    def spade_block(dst: str, src: str):
+        blk_p: Dict[str, Any] = {}
+        for tag, mine in (("conv_block_0", "0"), ("conv_block_1", "1"),
+                          ("conv_block_s", "_s")):
+            if f"{src}.{tag}.layers.conv.weight_orig" not in state:
+                continue
+            _put_sn_conv(params, stats, [dst, f"conv{mine}"], state,
+                         f"{src}.{tag}.layers.conv")
+            _put_plain_conv(
+                params, [dst, f"spade{mine}", "affine"], state,
+                f"{src}.{tag}.layers.norm.mlps.0.0.layers.conv")
+
+    for group in ("down", "res", "up"):
+        for i in _indices(state, "", group + "_{}"):
+            spade_block(f"{group}_{i}", f"{group}_{i}")
+
+    _put_plain_conv(params, ["conv_img", "conv"], state,
+                    "conv_img.layers.conv")
+
+    # MaskGenerator == flow_network_temp (generator.py:415-510)
+    mg = "flow_network_temp"
+    for ref_name, mine in (("down_lbl", "lbl"), ("down_img", "img")):
+        idxs = _indices(state, f"{mg}.", ref_name + ".{}")
+        for i in idxs:
+            dst = (f"mask_net/{mine}_in" if i == 0
+                   else f"mask_net/{mine}_down{i - 1}").split("/")
+            _put_sn_conv(params, stats, dst + ["conv"], state,
+                         f"{mg}.{ref_name}.{i}.layers.conv")
+            _put_instance_norm(params, dst + ["norm"], state,
+                               f"{mg}.{ref_name}.{i}.layers.norm")
+    for i in _indices(state, f"{mg}.", "res_flow.{}"):
+        src = f"{mg}.res_flow.{i}"
+        for tag, mine in (("conv_block_0", "0"), ("conv_block_1", "1"),
+                          ("conv_block_s", "_s")):
+            if f"{src}.{tag}.layers.conv.weight_orig" not in state:
+                continue
+            dst = ["mask_net", f"res{i}"]
+            _put_sn_conv(params, stats, dst + [f"conv{mine}"], state,
+                         f"{src}.{tag}.layers.conv")
+            _put_instance_norm(params, dst + [f"norm{mine}"], state,
+                               f"{src}.{tag}.layers.norm")
+    up_idx = _indices(state, f"{mg}.", "up_flow.{}")
+    n_up = len(up_idx)
+    for k, seq_i in enumerate(sorted(up_idx)):
+        # sequential [Upsample, conv]×n: param item 2k+1 is the conv for
+        # decoder level (n-1-k)
+        dst = ["mask_net", f"up{n_up - 1 - k}"]
+        _put_sn_conv(params, stats, dst + ["conv"], state,
+                     f"{mg}.up_flow.{seq_i}.layers.conv")
+        _put_instance_norm(params, dst + ["norm"], state,
+                           f"{mg}.up_flow.{seq_i}.layers.norm")
+    _put_plain_conv(params, ["mask_net", "conv_mask", "conv", "conv"],
+                    state, f"{mg}.conv_mask.0.layers.conv")
+    return params, stats
+
+
+def map_discriminator_params(state: Dict[str, np.ndarray]):
+    """``netD_epochNNN.pth`` -> (params_d, stats_d) for
+    ``renderloom.models.discriminator.DiscriminatorSet``.
+
+    Reference: ``models/discriminator.py`` — wrapper with ``net_D`` (two
+    scales), ``net_D_face``, ``net_D_hand``; each scale is layer0..K
+    spectral convs with affine instance norms and a final 1ch spectral
+    conv (the highest layer index) that renderloom names ``head``."""
+    state = strip_module_prefix(state)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    nets = (("net_D", "net_d"), ("net_D_face", "net_d_face"),
+            ("net_D_hand", "net_d_hand"))
+    for ref_net, my_net in nets:
+        scales = _indices(state, f"{ref_net}.", "discriminator_{}")
+        for s in scales:
+            src_scale = f"{ref_net}.discriminator_{s}"
+            layers = _indices(state, f"{src_scale}.", "layer{}")
+            if not layers:
+                continue
+            head = max(layers)
+            for li in layers:
+                src = f"{src_scale}.layer{li}.0.layers"
+                if li == head:
+                    dst = [my_net, f"scale{s}", "head"]
+                else:
+                    dst = [my_net, f"scale{s}", f"layer{li}", "conv"]
+                _put_sn_conv(params, stats, dst, state, f"{src}.conv")
+                if f"{src}.norm.weight" in state and li != head:
+                    _put_instance_norm(
+                        params, [my_net, f"scale{s}", f"layer{li}",
+                                 "norm"], state, f"{src}.norm")
+    return params, stats

@@ -92,8 +92,15 @@ class SNConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, update_stats: bool = False):
+        # torch-style symmetric padding, NOT XLA "SAME": identical for
+        # stride 1 / odd kernels, but for stride-2 convs "SAME" pads
+        # (0, 1) while torch's padding=k//2 effectively pads (1, 0) —
+        # a shifted sampling grid that breaks checkpoint-import parity
+        # (conv.py's torch.nn.Conv2d padding semantics)
+        p = (self.kernel - 1) // 2
         conv = nn.Conv(self.features, (self.kernel, self.kernel),
-                       strides=(self.stride, self.stride), padding="SAME",
+                       strides=(self.stride, self.stride),
+                       padding=((p, p), (p, p)),
                        use_bias=self.use_bias, dtype=self.dtype,
                        param_dtype=jnp.float32, name="conv")
         if not self.spectral:

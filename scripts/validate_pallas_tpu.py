@@ -1,0 +1,72 @@
+"""Validate + micro-bench the fused Pallas rasterizer on a real TPU.
+
+Compares the compiled Pallas kernel (``ops/rasterize_pallas.py``) against
+the vmapped jnp path (``ops/rasterize.py``) at the reference label scale
+(480×320, 19 heatmap channels + skeleton + masks —
+``Pose_Guided_Neural_Rendering/configs/HSM.yaml:189-193``) and times
+both.  Heatmaps/masks must match bit-exactly; the skeleton image is
+allowed 5e-3 (TPU rsqrt/transcendental rounding vs the jnp division
+path).  Results are recorded in BASELINE.md.
+
+Run on the TPU host: ``python scripts/validate_pallas_tpu.py``.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from renderloom.core.cache import enable_compile_cache
+
+
+def main():
+    enable_compile_cache()
+    assert jax.default_backend() == "tpu", jax.devices()
+
+    from renderloom.ops import rasterize as R
+    from renderloom.ops.rasterize_pallas import rasterize_frames_fused
+
+    H, W, F = 320, 480, 16
+    rng = np.random.default_rng(0)
+    coords = jnp.asarray(rng.uniform(40, 280, (F, 19, 2)), jnp.float32)
+    conf = jnp.asarray(rng.uniform(0.5, 1.0, (F, 19)), jnp.float32)
+
+    jnp_path = jax.jit(
+        lambda c, cf: R.rasterize_frames(None, c, cf, H, W, train=False))
+    pal_path = jax.jit(
+        lambda c, cf: rasterize_frames_fused(None, c, cf, H, W,
+                                             train=False))
+
+    a = jax.block_until_ready(jnp_path(coords, conf))
+    b = jax.block_until_ready(pal_path(coords, conf))
+    tol = {"heatmaps": 0.0, "mask": 0.0, "part_mask": 0.0,
+           "skeleton": 5e-3}
+    for k in a:
+        d = float(jnp.abs(a[k] - b[k]).max())
+        print(f"max|diff| {k}: {d:.3e} (tol {tol[k]:g})")
+        assert d <= tol[k], k
+
+    def bench(fn, n=20):
+        jax.block_until_ready(fn(coords, conf))
+        tic = time.perf_counter()
+        for _ in range(n):
+            out = fn(coords, conf)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - tic) / n * 1e3
+
+    t_jnp = bench(jnp_path)
+    t_pal = bench(pal_path)
+    print(json.dumps({
+        "jnp_ms_per_16_frames": round(t_jnp, 3),
+        "pallas_ms_per_16_frames": round(t_pal, 3),
+        "speedup": round(t_jnp / t_pal, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

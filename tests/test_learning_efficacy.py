@@ -110,8 +110,8 @@ def _window():
     yy, xx = np.mgrid[0:RH, 0:RW].astype(np.float32)
     back1 = (xx / RW + yy / RH) - 1.0          # [-1, 1) gradient
     L = 3
-    gt = np.repeat(back1[None, :, :, None], 3, axis=-1)[None].repeat(
-        L, axis=0)[None]                        # (1, L, H, W, 3)
+    gt = np.ascontiguousarray(np.broadcast_to(
+        back1[None, None, :, :, None], (1, L, RH, RW, 3)))
     back = gt.copy()
     label = np.zeros((1, L, RH, RW, 22), np.float32)
     fg = np.zeros((1, L, RH, RW, 1), np.float32)
