@@ -125,7 +125,8 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
     from renderloom.core.config import MotionConfig, RendererConfig
     from renderloom.eval.motion_infer import MotionInterpolator
     from renderloom.ops.flow import upsample_background
-    from renderloom.train.gan import create_gan_state, make_rollout
+    from renderloom.train.gan import (create_gan_state,
+                                      make_segment_rollout)
     from renderloom.train.motion import create_motion_state
 
     import dataclasses
@@ -152,7 +153,10 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
 
     gen, _, _, r_state = create_gan_state(jax.random.PRNGKey(1), rcfg,
                                           height=H, width=W)
-    rollout = make_rollout(gen, rcfg)
+    # segment-parallel rollout: keyframes reset the autoregressive
+    # chain, so the (K-1) segments run as one batch with rate-1
+    # sequential steps (exact vs make_rollout; see train/gan.py)
+    rollout = make_segment_rollout(gen, rcfg, rate)
 
     rng = np.random.default_rng(0)
     K = keyframes

@@ -33,7 +33,9 @@ from renderloom.core.config import RendererConfig
 from renderloom.data import openpose as op_io
 from renderloom.data.hsm import HsmReader, prepare_window
 from renderloom.ops.image import masked_metrics
-from renderloom.train.gan import make_rollout, rollout_chunked
+from renderloom.train.gan import (make_rollout, make_segment_rollout,
+                                  rollout_chunked,
+                                  segment_rollout_chunked)
 
 
 def evaluate_h5(gen, state, cfg: RendererConfig, reader: HsmReader,
@@ -49,8 +51,12 @@ def evaluate_h5(gen, state, cfg: RendererConfig, reader: HsmReader,
     ``gen_videos`` output (evaluator.py:142-143,
     ``utils/visualize.py:make_video``).  ``chunk`` bounds device memory:
     the rollout runs in fixed-size segments."""
-    rollout = make_rollout(gen, cfg)
     sample_rate = 2
+    # segment-parallel rollout (exact; keyframes reset the chain — see
+    # make_segment_rollout) when the clip is a whole number of segments;
+    # generic sequential scan otherwise
+    seg_rollout = make_segment_rollout(gen, cfg, sample_rate)
+    gen_rollout = make_rollout(gen, cfg)
     d = cfg.data
     totals = {"DAIN_PSNR": 0.0, "DAIN_SSIM": 0.0, "OURS_PSNR": 0.0,
               "OURS_SSIM": 0.0}
@@ -77,10 +83,17 @@ def evaluate_h5(gen, state, cfg: RendererConfig, reader: HsmReader,
             "label": prep["label"][None],
             "back": prep["back"][None],
             "key_img": prep["image"][None],
-            "is_key": jnp.asarray(np.arange(seq_len) % sample_rate == 0),
         }
-        fused, masks = rollout_chunked(rollout, state.params_g,
-                                       state.stats_g, batch, chunk=chunk)
+        if (seq_len - 1) % sample_rate == 0:
+            fused, masks = segment_rollout_chunked(
+                seg_rollout, state.params_g, state.stats_g, batch,
+                sample_rate, seg_chunk=max(chunk // sample_rate, 1))
+        else:
+            batch["is_key"] = jnp.asarray(
+                np.arange(seq_len) % sample_rate == 0)
+            fused, masks = rollout_chunked(gen_rollout, state.params_g,
+                                           state.stats_g, batch,
+                                           chunk=chunk)
 
         if video_dir:
             from renderloom.utils.visualize import make_grid_video
@@ -171,17 +184,19 @@ def render_folder(gen, state, cfg: RendererConfig, input_dir: str,
 
     # inference background = DAIN frame at t (not t−1): the folder layout
     # provides per-frame warped backgrounds directly (evaluator.py:246).
-    # Long clips: preparation AND rollout run in fixed-size segments with
-    # the fused-frame carry threaded between them — device memory stays
-    # O(chunk) regardless of clip length; frames stream to disk.
-    rollout = make_rollout(gen, cfg)
+    # Long clips: preparation AND rollout run per segment-aligned chunk —
+    # each chunk starts at a keyframe, which resets the autoregressive
+    # chain, so no carry crosses chunks and the segments inside a chunk
+    # run batched (make_segment_rollout).  Device memory stays O(chunk);
+    # frames stream to disk.
+    rollout = make_segment_rollout(gen, cfg, rate)
     os.makedirs(out_dir, exist_ok=True)
-    is_key_all = np.arange(seq_len) % rate == 0
-    chunk = min(64, seq_len)
-    init_fuse = init_label = None
-    for start in range(0, seq_len, chunk):
-        end = min(start + chunk, seq_len)
-        pad = chunk - (end - start)
+    S = (seq_len - 1) // rate
+    seg_chunk = max(min(16, S), 64 // rate)
+    for s0 in range(0, S, seg_chunk):
+        s1 = min(s0 + seg_chunk, S)
+        start, end = s0 * rate, s1 * rate + 1
+        pad = (seg_chunk - (s1 - s0)) * rate
 
         def cut(arr_np):
             seg = arr_np[start:end]
@@ -198,18 +213,14 @@ def render_folder(gen, state, cfg: RendererConfig, input_dir: str,
             "label": prep["label"][None],
             "back": prep["back"][None],
             "key_img": prep["image"][None],
-            "is_key": jnp.asarray(cut(is_key_all[:, None])[:, 0]),
         }
-        if init_fuse is not None:
-            batch["init_fuse"] = init_fuse
-            batch["init_label"] = init_label
         fused, _ = rollout(state.params_g, state.stats_g, batch)
-        valid = end - start
+        # final chunk writes its closing keyframe; earlier chunks leave
+        # it to the next chunk (it is that chunk's first frame)
+        valid = (end - start) if s1 == S else (end - start - 1)
         arr = np.asarray(jnp.clip(fused[0, :valid] * 0.5 + 0.5, 0, 1)
                          * 255).astype(np.uint8)
         for i in range(valid):
             Image.fromarray(arr[i]).save(
                 os.path.join(out_dir, f"{start + i:05d}.png"))
-        init_fuse = fused[:, valid - 1]
-        init_label = batch["label"][:, valid - 1]
     return seq_len

@@ -385,3 +385,115 @@ def rollout_chunked(rollout, params_g, stats_g, batch, chunk: int = 64):
         init_label = seg_batch["label"][:, valid - 1]
     return (jnp.concatenate(fused_parts, axis=1),
             jnp.concatenate(mask_parts, axis=1))
+
+
+def make_segment_rollout(gen: Generator, cfg: RendererConfig, rate: int):
+    """Segment-parallel autoregressive rollout — exact same semantics as
+    :func:`make_rollout` for the periodic keyframe pattern
+    ``is_key = (t % rate == 0)``, restructured for the MXU.
+
+    The reference evaluator's recursion (``models/evaluator.py:94-114``)
+    resets at every keyframe: a keyframe's fused output IS the provided
+    key image, independent of history.  The L-frame sequential chain is
+    therefore (K-1) *independent* chains of length (rate-1).  Scanning
+    ``rate-1`` steps with the segment axis folded into the batch runs
+    ~rate× fewer sequential generator calls at (K-1)× larger batch —
+    the same FLOPs, massively better utilization on one chip.
+
+    ``batch``: label (B, L, H, W, 22), back (B, L, H, W, 3),
+    key_img (B, L, H, W, 3) with L = (K-1)·rate + 1.
+    Returns fused (B, L, H, W, 3), masks (B, L, H, W, 1) —
+    bit-identical per frame to ``make_rollout`` up to reduction order.
+    """
+
+    @jax.jit
+    def rollout(params_g, stats_g, batch):
+        label, back, key_img = (batch["label"], batch["back"],
+                                batch["key_img"])
+        B, L = label.shape[:2]
+        assert (L - 1) % rate == 0, (L, rate)
+        S = (L - 1) // rate                     # segments
+
+        def seg(x):
+            # (B, L, ...) -> (rate, B·S, ...): segment s covers frames
+            # [s·rate, (s+1)·rate); in-segment index leads for lax.scan
+            body = x[:, :S * rate]
+            body = body.reshape((B, S, rate) + x.shape[2:])
+            body = jnp.moveaxis(body, 2, 0)
+            return body.reshape((rate, B * S) + x.shape[2:])
+
+        label_s, back_s, key_s = seg(label), seg(back), seg(key_img)
+
+        def step(carry, xs):
+            prev_fuse, prev_label = carry
+            img, mask = gen.apply(
+                {"params": params_g, "batch_stats": stats_g},
+                xs["label"], prev_label, xs["back"], prev_fuse,
+                update_stats=False)
+            fused = composite(img, mask, xs["back"])
+            return (fused, xs["label"]), (fused, mask)
+
+        init = (key_s[0], label_s[0])           # each segment's keyframe
+        xs = {"label": label_s[1:], "back": back_s[1:]}
+        _, (fused_in, masks_in) = jax.lax.scan(step, init, xs)
+
+        # reassemble: keyframes pass through with zero mask
+        fused_seg = jnp.concatenate([key_s[:1], fused_in], axis=0)
+        masks_seg = jnp.concatenate(
+            [jnp.zeros_like(masks_in[:1]), masks_in], axis=0)
+
+        def unseg(x):
+            body = x.reshape((rate, B, S) + x.shape[2:])
+            body = jnp.moveaxis(body, 0, 2)
+            return body.reshape((B, S * rate) + x.shape[2:])
+
+        fused = jnp.concatenate(
+            [unseg(fused_seg), key_img[:, -1:]], axis=1)
+        masks = jnp.concatenate(
+            [unseg(masks_seg),
+             jnp.zeros(key_img[:, -1:].shape[:-1] + (1,),
+                       masks_seg.dtype)], axis=1)
+        return fused, masks
+
+    return rollout
+
+
+def segment_rollout_chunked(seg_rollout, params_g, stats_g, batch,
+                            rate: int, seg_chunk: int = 16):
+    """Chunk :func:`make_segment_rollout` over the segment axis so device
+    memory stays O(seg_chunk · rate) frames for arbitrarily long clips.
+    Because every chunk starts at a keyframe, no carry crosses chunks
+    (unlike :func:`rollout_chunked`) — chunks are pure slices.  Chunks
+    are padded to ``seg_chunk`` segments by tiling the final frame, so
+    there is exactly one compiled shape."""
+    L = batch["label"].shape[1]
+    S = (L - 1) // rate
+    assert S * rate + 1 == L, (L, rate)
+    if S <= seg_chunk:
+        return seg_rollout(params_g, stats_g, batch)
+
+    fused_parts, mask_parts = [], []
+    for s0 in range(0, S, seg_chunk):
+        s1 = min(s0 + seg_chunk, S)
+        pad_frames = (seg_chunk - (s1 - s0)) * rate
+
+        def cut(x):
+            seg = jax.lax.slice_in_dim(x, s0 * rate, s1 * rate + 1,
+                                       axis=1)
+            if pad_frames:
+                last = jax.lax.slice_in_dim(
+                    seg, seg.shape[1] - 1, seg.shape[1], axis=1)
+                reps = [1] * seg.ndim
+                reps[1] = pad_frames
+                seg = jnp.concatenate([seg, jnp.tile(last, reps)],
+                                      axis=1)
+            return seg
+
+        seg_batch = {k: cut(batch[k])
+                     for k in ("label", "back", "key_img")}
+        fused, masks = seg_rollout(params_g, stats_g, seg_batch)
+        valid = (s1 - s0) * rate + (1 if s1 == S else 0)
+        fused_parts.append(fused[:, :valid])
+        mask_parts.append(masks[:, :valid])
+    return (jnp.concatenate(fused_parts, axis=1),
+            jnp.concatenate(mask_parts, axis=1))

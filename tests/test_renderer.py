@@ -223,3 +223,56 @@ def test_generator_bfloat16_compute_path():
     assert np.isfinite(np.asarray(img16)).all()
     assert np.abs(np.asarray(img16) - np.asarray(img32)).mean() < 0.1
     assert np.abs(np.asarray(mask16) - np.asarray(mask32)).mean() < 0.1
+
+
+def test_segment_rollout_matches_sequential(gan_setup):
+    from renderloom.train.gan import make_segment_rollout
+
+    cfg, gen, _, _, state = gan_setup
+    rate, K = 4, 3
+    L = (K - 1) * rate + 1
+    rng = np.random.default_rng(3)
+    batch = {
+        "label": jnp.asarray(rng.uniform(-1, 1, (1, L, H, W, 22)),
+                             jnp.float32),
+        "back": jnp.asarray(rng.uniform(-1, 1, (1, L, H, W, 3)),
+                            jnp.float32),
+        "key_img": jnp.asarray(rng.uniform(-1, 1, (1, L, H, W, 3)),
+                               jnp.float32),
+    }
+    seq = make_rollout(gen, cfg)
+    par = make_segment_rollout(gen, cfg, rate)
+    is_key = jnp.asarray(np.arange(L) % rate == 0)
+    f_seq, m_seq = seq(state.params_g, state.stats_g,
+                       dict(batch, is_key=is_key))
+    f_par, m_par = par(state.params_g, state.stats_g, batch)
+    np.testing.assert_allclose(np.asarray(f_par), np.asarray(f_seq),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m_par), np.asarray(m_seq),
+                               atol=2e-5)
+
+
+def test_segment_rollout_chunked_matches_unchunked(gan_setup):
+    from renderloom.train.gan import (make_segment_rollout,
+                                      segment_rollout_chunked)
+
+    cfg, gen, _, _, state = gan_setup
+    rate, K = 2, 6
+    L = (K - 1) * rate + 1
+    rng = np.random.default_rng(5)
+    batch = {
+        "label": jnp.asarray(rng.uniform(-1, 1, (1, L, H, W, 22)),
+                             jnp.float32),
+        "back": jnp.asarray(rng.uniform(-1, 1, (1, L, H, W, 3)),
+                            jnp.float32),
+        "key_img": jnp.asarray(rng.uniform(-1, 1, (1, L, H, W, 3)),
+                               jnp.float32),
+    }
+    par = make_segment_rollout(gen, cfg, rate)
+    f_full, m_full = par(state.params_g, state.stats_g, batch)
+    f_chunk, m_chunk = segment_rollout_chunked(
+        par, state.params_g, state.stats_g, batch, rate, seg_chunk=2)
+    np.testing.assert_allclose(np.asarray(f_chunk), np.asarray(f_full),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_chunk), np.asarray(m_full),
+                               atol=1e-6)
