@@ -192,7 +192,8 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
             interp.params, jnp.asarray(motion, jnp.float32),
             jnp.asarray(conf, jnp.float32), rate, int(np.log2(rate)),
             interp_pad)
-        backs = upsample_background(keys_dev, rate, levels=3, iters=2)
+        backs = upsample_background(keys_dev, rate, levels=3,
+                                    iters=2, flow_scale=2)
         batch = prep_fn(pred[:, :, :L], dense_conf, backs)
         fused, _ = rollout(r_state.params_g, r_state.stats_g, batch)
         return fused

@@ -133,7 +133,30 @@ class PerceptualLoss:
     def __init__(self, layers: Sequence[str] = DEFAULT_LAYERS,
                  weights: Sequence[float] = DEFAULT_WEIGHTS,
                  weights_path: Optional[str] = None,
-                 require_pretrained: bool = False):
+                 require_pretrained: bool = False,
+                 network: str = "vgg19"):
+        if network != "vgg19":
+            # alternate backbones from the reference's loss library
+            # (losses.py:189-202): vgg16 / alexnet / resnet50, each with
+            # its own default taps and uniform weights (the [1/32..1]
+            # schedule is vgg19-specific, configs/HSM.yaml:124-140)
+            from renderloom.models.backbones import build_backbone
+
+            model, variables, taps, pretrained = build_backbone(
+                network, None if layers is DEFAULT_LAYERS else layers,
+                weights_path)
+            self.model, self.variables = model, variables
+            self.layers = tuple(taps)
+            self.weights = (tuple(weights)
+                            if weights is not DEFAULT_WEIGHTS
+                            else (1.0,) * len(self.layers))
+            self.pretrained = pretrained
+            if not pretrained and require_pretrained:
+                raise RuntimeError(
+                    f"PerceptualLoss[{network}]: no pretrained weights "
+                    "provided (pass a torchvision .pth/.npz as "
+                    "weights_path)")
+            return
         self.layers = tuple(layers)
         self.weights = tuple(weights)
         self.model = VGG19Features(self.layers)

@@ -181,17 +181,78 @@ def frame_double_pairs(frames: jax.Array, levels: int = 4,
     return out
 
 
+@partial(jax.jit, static_argnames=("rate", "levels", "iters",
+                                   "interp_fn", "flow_scale"))
 def upsample_background(frames: jax.Array, rate: int, levels: int = 4,
-                        iters: int = 3, interp_fn=None) -> jax.Array:
-    """(K, H, W, C) keyframes → ((K-1)·rate+1, ...) by repeated doubling
-    (rate must be a power of two, like the reference pipeline)."""
-    times = int(rate).bit_length() - 1
-    assert 2 ** times == rate, "rate must be a power of two"
-    for _ in range(times):
-        frames = frame_double_pairs(frames, levels, iters, interp_fn)
-    return frames
+                        iters: int = 3, interp_fn=None,
+                        flow_scale: int = 1) -> jax.Array:
+    """(K, H, W, C) keyframes → ((K-1)·rate+1, ...).
+
+    Default (LK) backend: flow is estimated ONCE per keyframe pair (both
+    directions, one vmapped batch over all pairs) and every in-between
+    time t = j/rate is synthesized directly from those flows with the
+    :func:`interpolate_pair` blend — flow estimation (the iterative
+    gather-heavy part) costs O(K), not O(K·rate) as the reference's
+    recursive doubling does (DAIN_test.py:105-198), and for rate 2 the
+    result is identical to one doubling pass.  ``flow_scale > 1``
+    estimates flow at 1/flow_scale resolution and upsamples (gathers
+    shrink by flow_scale²; the final full-resolution warp is unchanged)
+    — for the *background* role behind a composited foreground this is
+    visually lossless.
+
+    A custom midpoint-only ``interp_fn`` (e.g. the learned UNet) falls
+    back to recursive doubling; rate must be a power of two there."""
+    if interp_fn is not None:
+        times = int(rate).bit_length() - 1
+        assert 2 ** times == rate, "rate must be a power of two"
+        for _ in range(times):
+            frames = frame_double_pairs(frames, levels, iters, interp_fn)
+        return frames
+
+    K, H, W, C = frames.shape
+    if K < 2 or rate < 2:
+        return frames
+    p0, p1 = frames[:-1], frames[1:]
+    a = jnp.concatenate([p0, p1])
+    b = jnp.concatenate([p1, p0])
+    if flow_scale > 1:
+        hs, ws = H // flow_scale, W // flow_scale
+        a_s = jax.image.resize(a, (a.shape[0], hs, ws, C), "bilinear")
+        b_s = jax.image.resize(b, (b.shape[0], hs, ws, C), "bilinear")
+        flows = jax.vmap(
+            lambda x, y: estimate_flow(x, y, levels, iters))(a_s, b_s)
+        flows = flow_scale * jax.image.resize(
+            flows, (flows.shape[0], H, W, 2), "bilinear")
+    else:
+        flows = jax.vmap(
+            lambda x, y: estimate_flow(x, y, levels, iters))(a, b)
+    f01, f10 = flows[:K - 1], flows[K - 1:]
+
+    # per-pair forward/backward consistency errors (interpolate_pair's
+    # blend weights), computed once and reused for every t
+    c1 = jax.vmap(backward_warp)(p1, f01)
+    c0 = jax.vmap(backward_warp)(p0, f10)
+    e0 = jnp.mean(jnp.abs(c1 - p0), axis=-1, keepdims=True)
+    e1 = jnp.mean(jnp.abs(c0 - p1), axis=-1, keepdims=True)
+
+    def at_t(t):
+        w0 = jax.vmap(backward_warp)(p0, t * f10)
+        w1 = jax.vmap(backward_warp)(p1, (1.0 - t) * f01)
+        a0 = (1.0 - t) / (1.0 + e0)
+        a1 = t / (1.0 + e1)
+        return (a0 * w0 + a1 * w1) / (a0 + a1)
+
+    ts = jnp.arange(1, rate, dtype=jnp.float32) / rate
+    mids = jax.vmap(at_t)(ts)              # (rate-1, K-1, H, W, C)
+
+    out = jnp.zeros(((K - 1) * rate + 1, H, W, C), frames.dtype)
+    out = out.at[::rate].set(frames)
+    for j in range(1, rate):
+        out = out.at[j::rate].set(mids[j - 1])
+    return out
 
 
+@partial(jax.jit, static_argnames=("levels", "iters", "interp_fn"))
 def train_background(frames: jax.Array, levels: int = 4,
                      iters: int = 3, interp_fn=None) -> jax.Array:
     """(F, H, W, C) real frames → (F, H, W, C) surrogate backgrounds:

@@ -129,3 +129,103 @@ def test_train_background_shape():
                                      ).astype(np.float32))
     out = flow_ops.train_background(frames, levels=3, iters=2)
     assert out.shape == frames.shape
+
+
+def _textured_scene(rng, H=96, W=128):
+    """Isotropic multi-scale blob texture: well-conditioned structure
+    tensors everywhere (oriented gratings would hit the aperture
+    problem and say nothing about the estimator)."""
+    img = np.zeros((H, W, 3), np.float32)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    for _ in range(40):
+        cx, cy = rng.uniform(0, W), rng.uniform(0, H)
+        s = rng.uniform(3, 12)
+        a = rng.uniform(-0.5, 0.5, 3)
+        g = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
+        img += g[..., None] * a
+    return (img - img.min()) / (img.max() - img.min())
+
+
+def _affine_sample(img, mat):
+    """Bilinear sample of img at affine-transformed coords (float np)."""
+    H, W, C = img.shape
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    sx = mat[0, 0] * xx + mat[0, 1] * yy + mat[0, 2]
+    sy = mat[1, 0] * xx + mat[1, 1] * yy + mat[1, 2]
+    x0 = np.clip(np.floor(sx).astype(int), 0, W - 2)
+    y0 = np.clip(np.floor(sy).astype(int), 0, H - 2)
+    fx = np.clip(sx - x0, 0, 1)[..., None]
+    fy = np.clip(sy - y0, 0, 1)[..., None]
+    out = (img[y0, x0] * (1 - fx) * (1 - fy)
+           + img[y0, x0 + 1] * fx * (1 - fy)
+           + img[y0 + 1, x0] * (1 - fx) * fy
+           + img[y0 + 1, x0 + 1] * fx * fy)
+    return out.astype(np.float32)
+
+
+def test_interpolator_beats_blend_on_camera_pan():
+    """DAIN-role anchor (VERDICT): on a realistic camera pan+zoom, the
+    flow-interpolated midframe must beat the naive 50/50 blend baseline
+    by a clear PSNR margin, and be decent in absolute terms."""
+    from renderloom.ops.flow import interpolate_pair
+
+    rng = np.random.default_rng(0)
+    scene = _textured_scene(rng)
+
+    # camera motion: 6px pan + 2% zoom about the center over the pair
+    def cam(t):
+        s = 1.0 + 0.02 * t
+        cx, cy = 64.0, 48.0
+        return np.array([[s, 0, (1 - s) * cx + 6.0 * t],
+                         [0, s, (1 - s) * cy + 2.0 * t]], np.float32)
+
+    f0 = _affine_sample(scene, cam(0.0))
+    f1 = _affine_sample(scene, cam(1.0))
+    gt_mid = _affine_sample(scene, cam(0.5))
+
+    mid = np.asarray(interpolate_pair(jnp.asarray(f0), jnp.asarray(f1),
+                                      jnp.asarray(0.5), levels=3,
+                                      iters=3))
+    blend = 0.5 * (f0 + f1)
+
+    def psnr(a, b):
+        m = 12  # ignore the border the pan shifts in from
+        mse = float(np.mean((a[m:-m, m:-m] - b[m:-m, m:-m]) ** 2))
+        return 10 * np.log10(1.0 / max(mse, 1e-10))
+
+    p_flow = psnr(mid, gt_mid)
+    p_blend = psnr(blend, gt_mid)
+    # measured ~54 dB vs ~39 dB blend on this scene; generous margins
+    assert p_flow > p_blend + 8.0, (p_flow, p_blend)
+    assert p_flow > 40.0, p_flow
+
+
+def test_upsample_direct_matches_doubling_at_rate2():
+    """The direct multi-t path with t=0.5 is the same math as one
+    recursive-doubling pass — bit-compatible for rate 2."""
+    rng = np.random.default_rng(2)
+    frames = jnp.asarray(rng.uniform(0, 1, (3, 32, 48, 3)), jnp.float32)
+    direct = flow_ops.upsample_background(frames, 2, levels=2, iters=2)
+    doubled = flow_ops.frame_double_pairs(frames, levels=2, iters=2)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(doubled),
+                               atol=1e-5)
+
+
+def test_upsample_background_non_power_of_two_rate():
+    """The direct LK path supports arbitrary rates (the reference's
+    recursive doubling is power-of-two only)."""
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.uniform(0, 1, (3, 16, 24, 3)), jnp.float32)
+    out = flow_ops.upsample_background(frames, 3, levels=2, iters=1)
+    assert out.shape == (7, 16, 24, 3)
+    np.testing.assert_allclose(np.asarray(out[::3]), np.asarray(frames),
+                               atol=1e-6)
+
+
+def test_upsample_background_flow_scale():
+    rng = np.random.default_rng(4)
+    frames = jnp.asarray(rng.uniform(0, 1, (2, 32, 48, 3)), jnp.float32)
+    out = flow_ops.upsample_background(frames, 2, levels=2, iters=2,
+                                       flow_scale=2)
+    assert out.shape == (3, 32, 48, 3)
+    assert np.isfinite(np.asarray(out)).all()
