@@ -187,16 +187,29 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
         return {"label": prep["label"], "back": prep["back"],
                 "key_img": prep["image"], "is_key": is_key}
 
-    def run_once():
-        pred, _, dense_conf = interp._run(
-            interp.params, jnp.asarray(motion, jnp.float32),
-            jnp.asarray(conf, jnp.float32), rate, int(np.log2(rate)),
-            interp_pad)
+    times = int(np.log2(rate))
+
+    # the WHOLE pipeline (motion upsample → flow backgrounds → label
+    # rasterization → segment rollout + compositing) is ONE jit: frames
+    # never round-trip to host between stages and the driver pays one
+    # dispatch per clip (per-call latency through the tunneled TPU is
+    # tens of ms — it dominated the un-fused number)
+    @jax.jit
+    def e2e_once(m_params, g_params, g_stats, motion_dev, conf_dev):
+        pred, _, dense_conf = interp._run(m_params, motion_dev, conf_dev,
+                                          rate, times, interp_pad)
         backs = upsample_background(keys_dev, rate, levels=3,
                                     iters=2, flow_scale=2)
         batch = prep_fn(pred[:, :, :L], dense_conf, backs)
-        fused, _ = rollout(r_state.params_g, r_state.stats_g, batch)
+        fused, _ = rollout(r_state.params_g, g_stats, batch)
         return fused
+
+    motion_dev = jnp.asarray(motion, jnp.float32)
+    conf_dev = jnp.asarray(conf, jnp.float32)
+
+    def run_once():
+        return e2e_once(interp.params, r_state.params_g, r_state.stats_g,
+                        motion_dev, conf_dev)
 
     jax.block_until_ready(run_once())          # compile
     tic = time.perf_counter()
