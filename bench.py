@@ -257,7 +257,9 @@ def bench_gan_train(steps: int = 4, warmup: int = 1) -> dict:
     gen, dis, txs, state = create_gan_state(jax.random.PRNGKey(0), cfg,
                                             height=H, width=W)
     state = replicate(mesh, state)
-    step = make_gan_train_step(gen, dis, txs, cfg, PerceptualLoss())
+    step = make_gan_train_step(
+        gen, dis, txs, cfg,
+        PerceptualLoss(compute_dtype=cfg.compute_dtype))
 
     B, L = cfg.batch_size, cfg.data.max_frames
     rng = np.random.default_rng(0)

@@ -129,7 +129,8 @@ def main(argv=None):
     # hard-fail on the silent random-feature fallback: synthetic smoke
     # runs are exempt (they never claim reference parity)
     perceptual = PerceptualLoss(
-        require_pretrained=not (args.allow_random_vgg or args.synthetic))
+        require_pretrained=not (args.allow_random_vgg or args.synthetic),
+        compute_dtype=cfg.compute_dtype)
     # fused Pallas rasterization on TPU; vmapped jnp path elsewhere.
     # prep runs INSIDE the jitted step: raw uint8 windows ship to device
     # (~30x less transfer than prepared labels), augmentation +

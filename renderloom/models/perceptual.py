@@ -48,20 +48,26 @@ TORCHVISION_CONV_IDX = {
 
 class VGG19Features(nn.Module):
     """VGG19 trunk emitting the requested relu taps.  NHWC input in
-    ImageNet-normalized space; max-pool 2×2 between blocks."""
+    ImageNet-normalized space; max-pool 2×2 between blocks.  ``dtype``
+    sets the compute precision (bf16 on TPU — the ×10 perceptual term
+    runs twice per G-step at full resolution and its fp32 activations
+    dominate HBM traffic otherwise); params stay fp32."""
 
     layers: Sequence[str] = DEFAULT_LAYERS
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jax.Array]:
         taps = {}
+        x = x.astype(self.dtype)
         wanted = set(self.layers)
         deepest = max(int(name.split("_")[1]) for name in wanted)
         for block, n_convs, ch in VGG19_PLAN:
             if block > deepest:
                 break
             for i in range(1, n_convs + 1):
-                x = nn.Conv(ch, (3, 3), padding="SAME",
+                x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
+                            param_dtype=jnp.float32,
                             name=f"conv_{block}_{i}")(x)
                 x = nn.relu(x)
                 tap = f"relu_{block}_{i}"
@@ -134,7 +140,10 @@ class PerceptualLoss:
                  weights: Sequence[float] = DEFAULT_WEIGHTS,
                  weights_path: Optional[str] = None,
                  require_pretrained: bool = False,
-                 network: str = "vgg19"):
+                 network: str = "vgg19",
+                 compute_dtype: str = "float32"):
+        dtype = (jnp.bfloat16 if compute_dtype == "bfloat16"
+                 else jnp.float32)
         if network != "vgg19":
             # alternate backbones from the reference's loss library
             # (losses.py:189-202): vgg16 / alexnet / resnet50, each with
@@ -159,7 +168,7 @@ class PerceptualLoss:
             return
         self.layers = tuple(layers)
         self.weights = tuple(weights)
-        self.model = VGG19Features(self.layers)
+        self.model = VGG19Features(self.layers, dtype)
         path = weights_path or find_vgg_weights()
         if path:
             self.variables = (load_torchvision_pth(path)
@@ -197,7 +206,8 @@ class PerceptualLoss:
         for name, w in zip(self.layers, self.weights):
             diff = jnp.abs(f_pred[name]
                            - jax.lax.stop_gradient(f_tgt[name]))
-            loss = loss + w * jnp.mean(diff)
+            # reduce in fp32 (bf16 mean over ~10M elements loses bits)
+            loss = loss + w * jnp.mean(diff.astype(jnp.float32))
         return loss
 
     def lpips(self, pred: jax.Array, target: jax.Array) -> jax.Array:

@@ -34,7 +34,9 @@ def main(steps: int = 300):
     H, W = cfg.data.model_height, cfg.data.model_width
     gen, dis, txs, state = create_gan_state(jax.random.PRNGKey(0), cfg,
                                             height=H, width=W)
-    step = make_gan_train_step(gen, dis, txs, cfg, PerceptualLoss())
+    step = make_gan_train_step(
+        gen, dis, txs, cfg,
+        PerceptualLoss(compute_dtype=cfg.compute_dtype))
     u0 = jax.device_get(state.stats_g)
 
     B, L = cfg.batch_size, cfg.data.max_frames
