@@ -198,8 +198,10 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
     def e2e_once(m_params, g_params, g_stats, motion_dev, conf_dev):
         pred, _, dense_conf = interp._run(m_params, motion_dev, conf_dev,
                                           rate, times, interp_pad)
+        # quarter-res flow, single LK iteration: 55-65 dB background
+        # PSNR on pan/zoom scenes (flow gathers are the TPU cost)
         backs = upsample_background(keys_dev, rate, levels=3,
-                                    iters=2, flow_scale=2)
+                                    iters=1, flow_scale=4)
         batch = prep_fn(pred[:, :, :L], dense_conf, backs)
         fused, _ = rollout(r_state.params_g, g_stats, batch)
         return fused
