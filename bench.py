@@ -101,11 +101,11 @@ def bench_motion_train(steps: int = 20, warmup: int = 3) -> dict:
     })
     for _ in range(warmup):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics)
+    float(metrics["loss/total"])       # hard sync (scalar fetch)
     tic = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics)
+    float(metrics["loss/total"])       # steps chain through state
     wall = time.perf_counter() - tic
     result = {"metric": "motion_train_seqs_per_sec",
               "value": round(steps * B / wall, 2), "unit": "seq/s",
@@ -204,20 +204,25 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
                                     iters=1, flow_scale=4)
         batch = prep_fn(pred[:, :, :L], dense_conf, backs)
         fused, _ = rollout(r_state.params_g, g_stats, batch)
-        return fused
+        # scalar checksum: the next iteration's input depends on it, so
+        # repeated runs cannot overlap/cache, and fetching it at the end
+        # is a hard sync (block_until_ready through the tunneled device
+        # does not reliably await completion)
+        return fused, jnp.sum(fused) * 1e-20
 
     motion_dev = jnp.asarray(motion, jnp.float32)
     conf_dev = jnp.asarray(conf, jnp.float32)
 
-    def run_once():
+    def run_once(carry):
         return e2e_once(interp.params, r_state.params_g, r_state.stats_g,
-                        motion_dev, conf_dev)
+                        motion_dev + carry, conf_dev)
 
-    jax.block_until_ready(run_once())          # compile
+    _, carry = run_once(0.0)                   # compile
+    float(carry)                               # hard sync
     tic = time.perf_counter()
     for _ in range(repeats):
-        out = run_once()
-    jax.block_until_ready(out)
+        out, carry = run_once(carry)
+    float(carry)                               # hard sync
     wall = time.perf_counter() - tic
     fps = repeats * L / wall
     result = {"metric": "e2e_interp_frames_per_sec",
@@ -274,11 +279,11 @@ def bench_gan_train(steps: int = 4, warmup: int = 1) -> dict:
     })
     for _ in range(warmup):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics)
+    float(metrics["g/total"])          # hard sync (scalar fetch)
     tic = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics)
+    float(metrics["g/total"])          # steps chain through state
     wall = time.perf_counter() - tic
     result = {"metric": "gan_train_windows_per_sec",
               "value": round(steps * B / wall, 3), "unit": "window/s",
