@@ -126,6 +126,8 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
     from renderloom.eval.motion_infer import MotionInterpolator
     from renderloom.ops.flow import upsample_background
     from renderloom.train.gan import (create_gan_state,
+                                      fold_spectral_norm,
+                                      make_inference_generator,
                                       make_segment_rollout)
     from renderloom.train.motion import create_motion_state
 
@@ -155,8 +157,12 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
                                           height=H, width=W)
     # segment-parallel rollout: keyframes reset the autoregressive
     # chain, so the (K-1) segments run as one batch with rate-1
-    # sequential steps (exact vs make_rollout; see train/gan.py)
-    rollout = make_segment_rollout(gen, rcfg, rate)
+    # sequential steps (exact vs make_rollout; see train/gan.py).
+    # Spectral norm is folded into the kernels once (bit-identical) so
+    # the rollout skips hundreds of tiny serial power-iteration matmuls
+    g_params = fold_spectral_norm(r_state.params_g, r_state.stats_g)
+    rollout = make_segment_rollout(make_inference_generator(rcfg), rcfg,
+                                   rate)
 
     rng = np.random.default_rng(0)
     K = keyframes
@@ -203,7 +209,7 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
         backs = upsample_background(keys_dev, rate, levels=3,
                                     iters=1, flow_scale=4)
         batch = prep_fn(pred[:, :, :L], dense_conf, backs)
-        fused, _ = rollout(r_state.params_g, g_stats, batch)
+        fused, _ = rollout(g_params, {}, batch)
         # scalar checksum: the next iteration's input depends on it, so
         # repeated runs cannot overlap/cache, and fetching it at the end
         # is a hard sync (block_until_ready through the tunneled device

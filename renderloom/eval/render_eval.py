@@ -33,8 +33,9 @@ from renderloom.core.config import RendererConfig
 from renderloom.data import openpose as op_io
 from renderloom.data.hsm import HsmReader, prepare_window
 from renderloom.ops.image import masked_metrics
-from renderloom.train.gan import (make_rollout, make_segment_rollout,
-                                  rollout_chunked,
+from renderloom.train.gan import (fold_spectral_norm,
+                                  make_inference_generator, make_rollout,
+                                  make_segment_rollout, rollout_chunked,
                                   segment_rollout_chunked)
 
 
@@ -54,9 +55,12 @@ def evaluate_h5(gen, state, cfg: RendererConfig, reader: HsmReader,
     sample_rate = 2
     # segment-parallel rollout (exact; keyframes reset the chain — see
     # make_segment_rollout) when the clip is a whole number of segments;
-    # generic sequential scan otherwise
-    seg_rollout = make_segment_rollout(gen, cfg, sample_rate)
-    gen_rollout = make_rollout(gen, cfg)
+    # generic sequential scan otherwise.  Spectral norm folded once for
+    # inference (bit-identical, no per-frame power iterations).
+    inf_gen = make_inference_generator(cfg)
+    g_params = fold_spectral_norm(state.params_g, state.stats_g)
+    seg_rollout = make_segment_rollout(inf_gen, cfg, sample_rate)
+    gen_rollout = make_rollout(inf_gen, cfg)
     d = cfg.data
     totals = {"DAIN_PSNR": 0.0, "DAIN_SSIM": 0.0, "OURS_PSNR": 0.0,
               "OURS_SSIM": 0.0}
@@ -86,14 +90,13 @@ def evaluate_h5(gen, state, cfg: RendererConfig, reader: HsmReader,
         }
         if (seq_len - 1) % sample_rate == 0:
             fused, masks = segment_rollout_chunked(
-                seg_rollout, state.params_g, state.stats_g, batch,
+                seg_rollout, g_params, {}, batch,
                 sample_rate, seg_chunk=max(chunk // sample_rate, 1))
         else:
             batch["is_key"] = jnp.asarray(
                 np.arange(seq_len) % sample_rate == 0)
-            fused, masks = rollout_chunked(gen_rollout, state.params_g,
-                                           state.stats_g, batch,
-                                           chunk=chunk)
+            fused, masks = rollout_chunked(gen_rollout, g_params, {},
+                                           batch, chunk=chunk)
 
         if video_dir:
             from renderloom.utils.visualize import make_grid_video
@@ -189,7 +192,9 @@ def render_folder(gen, state, cfg: RendererConfig, input_dir: str,
     # chain, so no carry crosses chunks and the segments inside a chunk
     # run batched (make_segment_rollout).  Device memory stays O(chunk);
     # frames stream to disk.
-    rollout = make_segment_rollout(gen, cfg, rate)
+    rollout = make_segment_rollout(make_inference_generator(cfg), cfg,
+                                   rate)
+    g_params = fold_spectral_norm(state.params_g, state.stats_g)
     os.makedirs(out_dir, exist_ok=True)
     S = (seq_len - 1) // rate
     seg_chunk = max(min(16, S), 64 // rate)
@@ -214,7 +219,7 @@ def render_folder(gen, state, cfg: RendererConfig, input_dir: str,
             "back": prep["back"][None],
             "key_img": prep["image"][None],
         }
-        fused, _ = rollout(state.params_g, state.stats_g, batch)
+        fused, _ = rollout(g_params, {}, batch)
         # final chunk writes its closing keyframe; earlier chunks leave
         # it to the next chunk (it is that chunk's first frame)
         valid = (end - start) if s1 == S else (end - start - 1)

@@ -497,3 +497,61 @@ def segment_rollout_chunked(seg_rollout, params_g, stats_g, batch,
         mask_parts.append(masks[:, :valid])
     return (jnp.concatenate(fused_parts, axis=1),
             jnp.concatenate(mask_parts, axis=1))
+
+
+def fold_spectral_norm(params: dict, stats: dict) -> dict:
+    """Bake spectral normalization into the kernels for inference.
+
+    Training applies ``W / σ`` every forward, re-estimating σ from the
+    stored power-iteration ``u`` (flax SpectralNorm).  At inference the
+    weights are frozen, so the division can be done ONCE: this walks the
+    ``batch_stats`` tree, recomputes σ exactly as flax does (one power
+    step from the stored ``u``), and divides the matching kernel.  Using
+    the folded params with a ``weight_norm_type='none'`` generator (same
+    param tree, no stats) is bit-identical to the spectral one while
+    skipping ~hundreds of tiny serial matmuls per forward.
+    """
+
+    def sigma_of(kernel, u):
+        mat = kernel.reshape(-1, kernel.shape[-1]).astype(jnp.float32)
+        v = _l2norm(u.astype(jnp.float32) @ mat.T)
+        u1 = _l2norm(v @ mat)
+        return (v @ mat @ u1.T)[0, 0]
+
+    def walk(p, s):
+        out = {}
+        for k, v in p.items():
+            sv = s.get(k, {}) if isinstance(s, dict) else {}
+            if isinstance(v, dict):
+                out[k] = walk(v, sv)
+            else:
+                out[k] = v
+        sn = s.get("sn") if isinstance(s, dict) else None
+        if sn and "conv/kernel/u" in sn and "conv" in out:
+            sig = sigma_of(out["conv"]["kernel"], sn["conv/kernel/u"])
+            sig = jnp.where(sig != 0, sig, 1.0)
+            out["conv"] = dict(out["conv"],
+                               kernel=out["conv"]["kernel"] / sig)
+        return out
+
+    return walk(params, stats)
+
+
+def _l2norm(x, eps=1e-12):
+    return x / jnp.sqrt((x * x).sum() + eps)
+
+
+def make_inference_generator(cfg: RendererConfig):
+    """Spectral-norm-free Generator for rollouts: identical param tree
+    (SNConv stores conv params at the same path either way), no
+    batch_stats — pair with :func:`fold_spectral_norm`."""
+    import dataclasses
+
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+        else jnp.float32
+    gen_cfg = dataclasses.replace(
+        cfg.gen, weight_norm_type="none",
+        mask=dataclasses.replace(cfg.gen.mask, weight_norm_type="none"),
+        embed=dataclasses.replace(cfg.gen.embed,
+                                  weight_norm_type="none"))
+    return Generator(gen_cfg, dtype)

@@ -276,3 +276,26 @@ def test_segment_rollout_chunked_matches_unchunked(gan_setup):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(m_chunk), np.asarray(m_full),
                                atol=1e-6)
+
+
+def test_folded_spectral_norm_matches_training_generator(gan_setup):
+    from renderloom.train.gan import (fold_spectral_norm,
+                                      make_inference_generator)
+
+    cfg, gen, _, _, state = gan_setup
+    rng = np.random.default_rng(9)
+    label = jnp.asarray(rng.uniform(-1, 1, (1, H, W, 22)), jnp.float32)
+    img = jnp.asarray(rng.uniform(-1, 1, (1, H, W, 3)), jnp.float32)
+
+    ref_img, ref_mask = gen.apply(
+        {"params": state.params_g, "batch_stats": state.stats_g},
+        label, label, img, img, update_stats=False)
+
+    folded = fold_spectral_norm(state.params_g, state.stats_g)
+    inf_gen = make_inference_generator(cfg)
+    out_img, out_mask = inf_gen.apply({"params": folded}, label, label,
+                                      img, img, update_stats=False)
+    np.testing.assert_allclose(np.asarray(out_img), np.asarray(ref_img),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_mask),
+                               np.asarray(ref_mask), atol=1e-5)
