@@ -249,14 +249,18 @@ def bench_gan_train(steps: int = 4, warmup: int = 1) -> dict:
 
     from renderloom.core.config import RendererConfig
     from renderloom.models.perceptual import PerceptualLoss
+    import dataclasses
+
     from renderloom.parallel import make_mesh, replicate, shard_batch
     from renderloom.train.gan import create_gan_state, make_gan_train_step
-
-    import dataclasses
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = RendererConfig(
         compute_dtype="bfloat16" if on_tpu else "float32")
+    # batch 4 @ 480x320 fits HBM without rematerialization; remat costs
+    # ~10% step time here (measured; keep it for larger batches/frames)
+    cfg = dataclasses.replace(
+        cfg, gen=dataclasses.replace(cfg.gen, do_checkpoint=False))
     if not on_tpu:   # CPU fallback: reduced shapes, tagged below
         cfg = dataclasses.replace(
             cfg, batch_size=2,
