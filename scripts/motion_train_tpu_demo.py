@@ -31,7 +31,15 @@ def main(steps=1500):
                                          make_train_step, masked_mse,
                                          motion_loss)
 
+    import dataclasses
+
+    from renderloom.core.config import MotionOptimConfig
+
+    # demo lr: the reference trains 400 epochs at 1e-4; a few thousand
+    # steps need a hotter rate to reach the crossover
     cfg = MotionConfig(compute_dtype="bfloat16")
+    cfg = dataclasses.replace(
+        cfg, optim=dataclasses.replace(cfg.optim, lr=5e-4))
     L, B = cfg.dataset.max_seq_length, cfg.batch_size
     model, tx, state = create_motion_state(jax.random.PRNGKey(0), cfg)
     mean = jnp.zeros((19, 2))
@@ -49,10 +57,12 @@ def main(steps=1500):
         return_3d=d.return_type == "3D")
 
     def make_motion(rng, n):
+        # periods of ~20-80 frames vs keyframe spacing 8: real
+        # between-keyframe curvature for the model to exploit
         t = np.linspace(0, 6 * np.pi, L)
         out = np.zeros((n, 52, 3, L), np.float32)
         for b in range(n):
-            freq = rng.uniform(0.3, 1.6, (52, 3, 1))
+            freq = rng.uniform(0.8, 4.0, (52, 3, 1))
             phase = rng.uniform(0, 6.28, (52, 3, 1))
             amp = rng.uniform(0.1, 0.5, (52, 3, 1))
             out[b] = amp * np.sin(freq * t[None, None] + phase)
@@ -60,10 +70,10 @@ def main(steps=1500):
 
     rng = np.random.default_rng(0)
     batches = [{"motion3d": make_motion(rng, B),
-                "pad_mask": np.zeros((B, L), bool)} for _ in range(6)]
+                "pad_mask": np.zeros((B, L), bool)} for _ in range(24)]
     tic = time.perf_counter()
     for i in range(steps):
-        state, metrics = step(state, batches[i % 6])
+        state, metrics = step(state, batches[i % 24])
         if (i + 1) % 250 == 0:
             print(json.dumps({
                 "step": i + 1,
@@ -93,4 +103,4 @@ def main(steps=1500):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1500)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 4000)
