@@ -160,7 +160,7 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
     # sequential steps (exact vs make_rollout; see train/gan.py).
     # Spectral norm is folded into the kernels once (bit-identical) so
     # the rollout skips hundreds of tiny serial power-iteration matmuls
-    g_params = fold_spectral_norm(r_state.params_g, r_state.stats_g)
+    folded_g = fold_spectral_norm(r_state.params_g, r_state.stats_g)
     rollout = make_segment_rollout(make_inference_generator(rcfg), rcfg,
                                    rate)
 
@@ -201,7 +201,7 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
     # dispatch per clip (per-call latency through the tunneled TPU is
     # tens of ms — it dominated the un-fused number)
     @jax.jit
-    def e2e_once(m_params, g_params, g_stats, motion_dev, conf_dev):
+    def e2e_once(m_params, g_params, motion_dev, conf_dev):
         pred, _, dense_conf = interp._run(m_params, motion_dev, conf_dev,
                                           rate, times, interp_pad)
         # quarter-res flow, single LK iteration: 55-65 dB background
@@ -220,7 +220,7 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
     conf_dev = jnp.asarray(conf, jnp.float32)
 
     def run_once(carry):
-        return e2e_once(interp.params, r_state.params_g, r_state.stats_g,
+        return e2e_once(interp.params, folded_g,
                         motion_dev + carry, conf_dev)
 
     _, carry = run_once(0.0)                   # compile

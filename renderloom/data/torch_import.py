@@ -100,8 +100,29 @@ class _TensorStub:
     def materialize(self) -> np.ndarray:
         base = self.ref.array()
         itemsize = base.dtype.itemsize
+        # Checkpoint-controlled geometry: bound-check against the storage
+        # before as_strided, or a crafted record reads process memory.
+        if self.offset < 0 or any(s < 0 for s in self.stride) \
+                or any(n < 0 for n in self.size):
+            raise ValueError(
+                f"storage {self.ref.key}: negative tensor geometry "
+                f"offset={self.offset} size={self.size} "
+                f"stride={self.stride}")
         if not self.size:  # 0-d tensor
+            if self.offset >= self.ref.numel:
+                raise ValueError(
+                    f"storage {self.ref.key}: 0-d offset {self.offset} "
+                    f">= numel {self.ref.numel}")
             return base[self.offset:self.offset + 1].copy().reshape(())
+        if min(self.size) == 0:
+            return np.zeros(self.size, dtype=base.dtype)
+        last = self.offset + sum(
+            (n - 1) * s for n, s in zip(self.size, self.stride))
+        if last >= self.ref.numel:
+            raise ValueError(
+                f"storage {self.ref.key}: tensor extent {last} >= "
+                f"numel {self.ref.numel} (offset={self.offset} "
+                f"size={self.size} stride={self.stride})")
         arr = np.lib.stride_tricks.as_strided(
             base[self.offset:],
             shape=self.size,
@@ -191,10 +212,11 @@ def _read_zip_pth(path: str) -> Any:
             raise ValueError(f"{path}: no data.pkl in torch zip archive")
         pkl_name = min(pkl_names, key=len)
         root = pkl_name[:-len("data.pkl")].rstrip("/")
+        prefix = f"{root}/" if root else ""
 
         def load_storage(dtype, key, numel):
             ref = _StorageRef(dtype, key, numel)
-            ref.data = zf.read(f"{root}/data/{key}")
+            ref.data = zf.read(f"{prefix}data/{key}")
             return ref
 
         up = _Unpickler(io.BytesIO(zf.read(pkl_name)), load_storage)
@@ -202,6 +224,24 @@ def _read_zip_pth(path: str) -> Any:
 
 
 _LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
+
+
+class _NoGlobalsUnpickler(pickle.Unpickler):
+    """For the legacy header/key pickles: scalars, strings and plain
+    containers only — any GLOBAL opcode (the arbitrary-code vector) is
+    rejected before the payload can run."""
+
+    def find_class(self, module: str, name: str):
+        raise pickle.UnpicklingError(
+            f"blocked unpickle of {module}.{name} in checkpoint header")
+
+    def persistent_load(self, pid):
+        raise pickle.UnpicklingError(
+            "persistent id not allowed in checkpoint header")
+
+
+def _safe_load(f: BinaryIO) -> Any:
+    return _NoGlobalsUnpickler(f, encoding="utf-8").load()
 
 
 def _read_legacy_pth(path: str) -> Any:
@@ -213,13 +253,13 @@ def _read_legacy_pth(path: str) -> Any:
         return storages[key]
 
     with open(path, "rb") as f:
-        magic = pickle.load(f)
+        magic = _safe_load(f)
         if magic != _LEGACY_MAGIC:
             raise ValueError(f"{path}: bad legacy torch magic {magic!r}")
-        pickle.load(f)  # protocol version
-        pickle.load(f)  # sys info (endianness, type sizes)
+        _safe_load(f)  # protocol version
+        _safe_load(f)  # sys info (endianness, type sizes)
         obj = _Unpickler(f, load_storage).load()
-        keys = pickle.load(f)
+        keys = _safe_load(f)
         for key in keys:
             ref = storages[str(key)]
             (numel,) = struct.unpack("<q", f.read(8))

@@ -45,11 +45,16 @@ def instance_norm(x: jax.Array, eps: float = 1e-5,
     """Per-(sample, channel) normalization over H, W.  NHWC.
 
     Statistics accumulate in float32 even under bfloat16 compute (bf16
-    variance accumulation visibly degrades normalization quality)."""
+    variance accumulation visibly degrades normalization quality).
+    One-pass moments (E[x²]−E[x]²): both reductions read x in a single
+    fused pass, vs two passes for mean-then-centered-variance — the
+    step is HBM-bound, and activations are normalized-range so fp32
+    cancellation is benign."""
     x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.var(x32, axis=(1, 2), keepdims=True)
-    out = ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    m1 = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    m2 = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+    out = ((x32 - m1) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     if scale is not None:
         out = out * scale
     if bias is not None:

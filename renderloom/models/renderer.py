@@ -188,7 +188,11 @@ class Generator(nn.Module):
             jnp.concatenate([img_prev, img_warped, img],
                             axis=-1).astype(self.dtype),
             update_stats)
-        return img.astype(jnp.float32), mask.astype(jnp.float32)
+        # outputs stay in compute dtype: under bf16 the train scan
+        # carries/streams them at half the bytes (the step is HBM-bound;
+        # VERDICT r2 #1), and inference composites promote to fp32 via
+        # the fp32 background
+        return img, mask.astype(img.dtype)
 
 
 def composite(img_gen: jax.Array, mask: jax.Array,

@@ -199,11 +199,18 @@ def make_gan_train_step(gen: Generator, dis: DiscriminatorSet,
 
         img_prev = jax.lax.stop_gradient(prev_fuse)
 
-        # --- plain G forward for the D update inputs (no stats update;
-        # the gradient forward below performs the power iteration)
-        gen_img, gen_mask, _ = g_forward(params_g, stats_g, label,
-                                         label_prev, back, img_prev,
-                                         False)
+        # --- ONE G forward per frame, like the reference: torch runs a
+        # single train-mode forward (power iteration included) and uses
+        # its detached outputs for the D update, then backprops the same
+        # graph for the G update (trainer.py:157-193).  jax.vjp gives us
+        # exactly that: outputs + a pullback, no duplicate forward.
+        def g_fwd(p_g):
+            img, mask, new_sg = g_forward(p_g, stats_g, label, label_prev,
+                                          back, img_prev, True)
+            return (img, mask), new_sg
+
+        (gen_img, gen_mask), g_vjp, stats_g_new = jax.vjp(
+            g_fwd, params_g, has_aux=True)
         fuse = composite(gen_img, gen_mask, back)
         fuse_sg = jax.lax.stop_gradient(fuse)
         gen_sg = jax.lax.stop_gradient(gen_img)
@@ -220,10 +227,10 @@ def make_gan_train_step(gen: Generator, dis: DiscriminatorSet,
         d_updates, opt_d_new = tx_d.update(d_grads, opt_d, params_d)
         params_d_new = optax.apply_updates(params_d, d_updates)
 
-        # --- G update through the *updated* D (trainer.py:192-193)
-        def g_loss_fn(p_g):
-            img, mask, new_sg = g_forward(p_g, stats_g, label, label_prev,
-                                          back, img_prev, True)
+        # --- G update through the *updated* D (trainer.py:192-193):
+        # differentiate the loss stack wrt the G OUTPUTS, then pull the
+        # cotangents back through the saved forward
+        def g_loss_fn(img, mask):
             fused = composite(img, mask, back)
             d_out, _ = d_forward(params_d_new, stats_d_new, label, real,
                                  fused, img, fg, False)
@@ -231,18 +238,19 @@ def make_gan_train_step(gen: Generator, dis: DiscriminatorSet,
                                              cfg.fm_w)
             loss_perc = (vgg(fused, real) + vgg(img * fg, real * fg)) \
                 * cfg.perceptual.weight
-            loss_l1 = (jnp.mean(jnp.abs(fused - real))
+            loss_l1 = (jnp.mean(jnp.abs(fused - real), dtype=jnp.float32)
                        + masked_l1_image(img, fg, real)) * cfg.l1_w
             loss_mask = mask_regulation_loss(mask) * cfg.mask_w
             total = loss_gan + loss_fm + loss_perc + loss_l1 + loss_mask
-            aux = {"fused": fused, "stats_g": new_sg,
+            aux = {"fused": fused,
                    "metrics": {"g/gan": loss_gan, "g/fm": loss_fm,
                                "g/perc": loss_perc, "g/l1": loss_l1,
                                "g/mask": loss_mask, "g/total": total}}
             return total, aux
 
-        (g_total, aux), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(params_g)
+        (g_total, aux), out_grads = jax.value_and_grad(
+            g_loss_fn, argnums=(0, 1), has_aux=True)(gen_img, gen_mask)
+        (g_grads,) = g_vjp(out_grads)
         g_updates, opt_g_new = tx_g.update(g_grads, opt_g, params_g)
         params_g_new = optax.apply_updates(params_g, g_updates)
 
@@ -251,7 +259,7 @@ def make_gan_train_step(gen: Generator, dis: DiscriminatorSet,
         for k, v in d_per_key.items():
             metrics[f"d/{k}"] = v
 
-        new_carry = (params_g_new, params_d_new, aux["stats_g"],
+        new_carry = (params_g_new, params_d_new, stats_g_new,
                      stats_d_new, opt_g_new, opt_d_new,
                      jax.lax.stop_gradient(aux["fused"]))
         return new_carry, metrics
@@ -265,8 +273,15 @@ def make_gan_train_step(gen: Generator, dis: DiscriminatorSet,
             state = state.replace(key=key)
             batch = prepare_batch(k_prep, batch, data_cfg, train=True,
                                   fused_raster=fused_raster)
-        # frame-major: (L, B, H, W, C)
-        tm = lambda x: jnp.swapaxes(x, 0, 1)
+        # frame-major: (L, B, H, W, C).  Cast the streamed tensors to the
+        # compute dtype ONCE — the scan re-reads them every frame for the
+        # D forward, G forward and both backwards, and the step is
+        # HBM-bandwidth-bound (VERDICT r2 #1): bf16 halves that traffic.
+        # Every conv casts its input to bf16 anyway, so no information
+        # the model sees is lost; loss reductions accumulate fp32.
+        cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+            else jnp.float32
+        tm = lambda x: jnp.swapaxes(x, 0, 1).astype(cdtype)
         label = tm(batch["label"])
         image = tm(batch["image"])
         back = tm(batch["back"])

@@ -26,18 +26,23 @@ import jax.numpy as jnp
 
 
 def _weighted_mean(x: jax.Array, weight: Optional[jax.Array]) -> jax.Array:
+    # inputs may stream in bf16 (HBM-bound train step); accumulate fp32
     if weight is None:
-        return jnp.mean(x)
+        return jnp.mean(x, dtype=jnp.float32)
     # weight broadcasts over the batch axis
     w = jnp.broadcast_to(weight.reshape((-1,) + (1,) * (x.ndim - 1)),
                          x.shape)
-    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return (jnp.sum(x * w, dtype=jnp.float32)
+            / jnp.maximum(jnp.sum(w, dtype=jnp.float32), 1.0))
 
 
 def gan_loss_single(logits: jax.Array, t_real: bool, dis_update: bool,
                     mode: str = "hinge",
                     weight: Optional[jax.Array] = None) -> jax.Array:
     """One scale's GAN loss (losses.py:76-113)."""
+    # patch logits are tiny tensors; fp32 here costs nothing and keeps
+    # the exp/log1p (non_saturated) and squares numerically safe
+    logits = logits.astype(jnp.float32)
     if mode == "hinge":
         if dis_update:
             if t_real:
@@ -84,10 +89,11 @@ def masked_l1_image(pred: jax.Array, fg_mask: jax.Array,
                     target: jax.Array, alpha: float = 9.0) -> jax.Array:
     """(α·fg-masked + global)/(1+α) L1 (losses.py:537-564).  NHWC;
     fg_mask broadcasts (B,H,W,1)."""
-    global_loss = jnp.mean(jnp.abs(pred - target))
+    global_loss = jnp.mean(jnp.abs(pred - target), dtype=jnp.float32)
     mask3 = jnp.broadcast_to(fg_mask, pred.shape)
-    n = jnp.sum(mask3)
-    masked = jnp.sum(jnp.abs(pred * mask3 - target * mask3)) \
+    n = jnp.sum(mask3, dtype=jnp.float32)
+    masked = jnp.sum(jnp.abs(pred * mask3 - target * mask3),
+                     dtype=jnp.float32) \
         / jnp.maximum(n, 1.0)
     masked = jnp.where(n < 1, 0.0, masked)
     return (masked * alpha + global_loss) / (1.0 + alpha)
@@ -100,6 +106,7 @@ def mask_regulation_loss(mask: jax.Array,
     H, W = mask.shape[1], mask.shape[2]
     dx = mask[:, :, 1:, :] - mask[:, :, :-1, :]
     dy = mask[:, 1:, :, :] - mask[:, :-1, :, :]
-    total = jnp.sum(jnp.abs(dx)) + jnp.sum(jnp.abs(dy)) \
-        + jnp.sum(jnp.abs(mask))
+    total = (jnp.sum(jnp.abs(dx), dtype=jnp.float32)
+             + jnp.sum(jnp.abs(dy), dtype=jnp.float32)
+             + jnp.sum(jnp.abs(mask), dtype=jnp.float32))
     return total / (H * W * 4.0)

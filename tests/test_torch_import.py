@@ -80,6 +80,80 @@ def test_read_pth_blocks_arbitrary_code(tmp_path):
         read_pth(path)
 
 
+def test_legacy_header_pickles_are_restricted(tmp_path):
+    """A malicious payload in the legacy-format HEADER pickles (magic /
+    protocol / sys-info / storage-keys) must be blocked BEFORE it runs —
+    these are read before the whitelisting object unpickler even starts
+    (ADVICE r2: the stock pickle.load there executed __reduce__)."""
+    marker = str(tmp_path / "pwned")
+    evil = pickle.dumps(_EvilTouch(marker))
+    path = str(tmp_path / "evil_legacy.pth")
+    with open(path, "wb") as f:
+        f.write(evil)                      # in place of the magic pickle
+    with pytest.raises(pickle.UnpicklingError):
+        read_pth(path)
+    assert not os.path.exists(marker), \
+        "header pickle executed arbitrary code"
+
+
+class _EvilTouch:
+    def __init__(self, marker):
+        self.marker = marker
+
+    def __reduce__(self):
+        return (os.system, (f"touch {self.marker}",))
+
+
+def test_tensor_geometry_bounds_checked():
+    """Crafted size/stride/offset beyond the storage must raise, not
+    read out-of-bounds process memory through as_strided (ADVICE r2).
+    The bound check lives in _TensorStub.materialize, shared by both
+    serialization formats — exercise it directly."""
+    from renderloom.data.torch_import import _StorageRef, _TensorStub
+
+    ref = _StorageRef(np.dtype("<f4"), "0", 4)
+    ref.data = np.arange(4, dtype="<f4").tobytes()
+
+    ok = _TensorStub(ref, 0, (2, 2), (2, 1)).materialize()
+    np.testing.assert_array_equal(ok, [[0, 1], [2, 3]])
+
+    with pytest.raises(ValueError, match="extent"):
+        _TensorStub(ref, 0, (2, 2), (1000, 1)).materialize()
+    with pytest.raises(ValueError, match="extent"):
+        _TensorStub(ref, 3, (2, 2), (2, 1)).materialize()
+    with pytest.raises(ValueError, match="negative"):
+        _TensorStub(ref, -1, (2,), (1,)).materialize()
+    with pytest.raises(ValueError, match="negative"):
+        _TensorStub(ref, 0, (2,), (-1,)).materialize()
+    with pytest.raises(ValueError, match="0-d"):
+        _TensorStub(ref, 4, (), ()).materialize()
+    # zero-size tensors are fine
+    assert _TensorStub(ref, 0, (0, 3), (3, 1)).materialize().shape \
+        == (0, 3)
+
+
+def test_zip_pth_root_level_data_pkl(tmp_path):
+    """Hand-rolled zips with data.pkl at the archive root (no wrapping
+    dir) must load — the storage prefix join tolerates an empty root
+    (ADVICE r2: '/data/<key>' KeyError)."""
+    import io
+    import zipfile as zf_mod
+
+    state = {"w": torch.arange(6, dtype=torch.float32).reshape(2, 3)}
+    orig = str(tmp_path / "orig.pth")
+    torch.save(state, orig)
+    flat = str(tmp_path / "flat.pth")
+    with zf_mod.ZipFile(orig) as src, \
+            zf_mod.ZipFile(flat, "w") as dst:
+        for name in src.namelist():
+            parts = name.split("/", 1)
+            newname = parts[1] if len(parts) == 2 else name
+            dst.writestr(newname, src.read(name))
+    loaded = read_pth(flat)
+    np.testing.assert_array_equal(loaded["w"],
+                                  state["w"].numpy())
+
+
 def test_strip_module_prefix():
     # DataParallel tolerance (utils/utils.py:64-68)
     out = strip_module_prefix({"module.a.weight": 1, "b.bias": 2})
