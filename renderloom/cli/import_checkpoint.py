@@ -60,6 +60,10 @@ def main(argv=None):
                    help="reference .pth (netG for --kind renderer)")
     p.add_argument("--pth-d", default=None,
                    help="netD .pth (renderer only, optional)")
+    p.add_argument("--opt", default=None,
+                   help="opt_epochNNN.pth (motion only): import the "
+                        "Adam moments so resumed training continues "
+                        "faithfully (trainer.py:100-118)")
     p.add_argument("--out", required=True,
                    help="orbax checkpoint dir (npz path for vgg19)")
     p.add_argument("--config", default=None, help="renderloom yaml config")
@@ -99,6 +103,18 @@ def main(argv=None):
         _tree_diff(state.params, params, "motion")
         state = state.replace(
             params=jax.tree.map(jax.numpy.asarray, params))
+        if args.opt:
+            from renderloom.data.torch_import import map_motion_opt_state
+            from renderloom.train.motion import splice_amsgrad_state
+
+            # state_dict is the flattened model checkpoint — its key
+            # order IS the torch parameters() order the opt slots use
+            count, mu, nu, nu_max = map_motion_opt_state(
+                read_pth(args.opt), list(state_dict))
+            _tree_diff(state.params, mu, "opt exp_avg")
+            state = state.replace(opt_state=splice_amsgrad_state(
+                state.opt_state, count, mu, nu, nu_max))
+            print(f"read {args.opt}: Adam moments at step {count}")
     else:
         from renderloom.train.gan import create_gan_state
 

@@ -43,7 +43,7 @@ import numpy as np
 
 __all__ = [
     "read_pth", "flatten_state_dict", "strip_module_prefix",
-    "map_motion_params", "vgg19_state_to_npz",
+    "map_motion_params", "map_motion_opt_state", "vgg19_state_to_npz",
 ]
 
 # torch storage class name -> numpy dtype (little-endian on every
@@ -395,6 +395,54 @@ def map_motion_params(state: Dict[str, np.ndarray]) -> Dict:
             blk[n] = {"scale": state[f"{src}.{n}.weight"].copy(),
                       "bias": state[f"{src}.{n}.bias"].copy()}
     return out
+
+
+def map_motion_opt_state(opt_obj: Any, model_keys):
+    """``opt_epochNNN.pth`` Adam moments -> renderloom moment pytrees.
+
+    The reference saves/restores the motion Adam state as
+    ``{'transformer': optimizer.state_dict()}``
+    (``Human_Motion_Modelling/models/trainer.py:100-118,208-225``).
+    torch keys the per-parameter state by position in
+    ``transformer.parameters()`` — the same order as the model state
+    dict's parameter keys (single param group, no buffers), so
+    ``model_keys`` (the ordered key list of the matching
+    ``model_epochNNN.pth``) names each slot.  Each moment kind is then a
+    reference-schema state dict and maps through
+    :func:`map_motion_params` into the renderloom layout.
+
+    Returns ``(count, mu, nu, nu_max)`` — the fields of optax's
+    amsgrad state (torch ``step`` / ``exp_avg`` / ``exp_avg_sq`` /
+    ``max_exp_avg_sq``; both apply the same bias correction).
+    """
+    if isinstance(opt_obj, dict) and "transformer" in opt_obj:
+        opt_obj = opt_obj["transformer"]
+    if not (isinstance(opt_obj, dict) and "state" in opt_obj):
+        raise ValueError("not a torch optimizer state dict "
+                         "(missing 'state')")
+    state = opt_obj["state"]
+    order = []
+    for g in opt_obj.get("param_groups", []):
+        order += list(g.get("params", []))
+    if not order:
+        order = sorted(state)
+    keys = [k for k in model_keys]
+    if len(order) != len(keys):
+        raise ValueError(
+            f"optimizer has {len(order)} param slots but the model "
+            f"checkpoint has {len(keys)} parameters — not a matching "
+            "opt/model pair")
+
+    def tree_of(kind: str):
+        d = {}
+        for i, pid in enumerate(order):
+            slot = state[pid] if pid in state else state[str(pid)]
+            d[keys[i]] = np.asarray(slot[kind])
+        return map_motion_params(d)
+
+    counts = [int(np.asarray(s["step"]).item()) for s in state.values()]
+    return (max(counts) if counts else 0, tree_of("exp_avg"),
+            tree_of("exp_avg_sq"), tree_of("max_exp_avg_sq"))
 
 
 # --------------------------------------------------------------------

@@ -100,13 +100,20 @@ def masked_l1_image(pred: jax.Array, fg_mask: jax.Array,
 
 
 def mask_regulation_loss(mask: jax.Array,
-                         fg_mask: Optional[jax.Array] = None) -> jax.Array:
+                         fg_mask: Optional[jax.Array] = None,
+                         repeat_channels: int = 3) -> jax.Array:
     """(‖∂x m‖₁ + ‖∂y m‖₁ + ‖m‖₁) / 4HW (losses.py:567-618; the fg prior
-    argument is unused in the reference too).  ``mask`` is (B,H,W,1)."""
+    argument is unused in the reference too).  ``mask`` is (B,H,W,1).
+
+    The reference trainer feeds the mask REPEATED to the 3 image
+    channels (trainer.py:184 ``mask.repeat(1,3,1,1)``) while keeping the
+    ÷4HW normalizer, so its loss is 3× the single-channel sums;
+    ``repeat_channels`` reproduces that exactly without materializing
+    the repeat (verified by tests/test_loss_parity.py)."""
     H, W = mask.shape[1], mask.shape[2]
     dx = mask[:, :, 1:, :] - mask[:, :, :-1, :]
     dy = mask[:, 1:, :, :] - mask[:, :-1, :, :]
     total = (jnp.sum(jnp.abs(dx), dtype=jnp.float32)
              + jnp.sum(jnp.abs(dy), dtype=jnp.float32)
              + jnp.sum(jnp.abs(mask), dtype=jnp.float32))
-    return total / (H * W * 4.0)
+    return total * repeat_channels / (H * W * 4.0)

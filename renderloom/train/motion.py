@@ -81,6 +81,42 @@ def make_optimizer(cfg: MotionConfig, steps_per_epoch: int):
     return optax.apply_if_finite(tx, max_consecutive_errors=10)
 
 
+def splice_amsgrad_state(opt_state, count: int, mu, nu, nu_max):
+    """Return ``opt_state`` with its amsgrad moments replaced.
+
+    Used to resume from the reference's ``opt_epochNNN.pth``
+    (``Human_Motion_Modelling/models/trainer.py:100-118``): the
+    surrounding clip/apply_if_finite/schedule states keep their fresh
+    values (torch has no equivalents), only the Adam moments and step
+    count carry over.  Walks the (named)tuple state tree so it is
+    robust to optax chain re-ordering."""
+    import jax.numpy as jnp
+
+    found = 0
+
+    def walk(node):
+        nonlocal found
+        if isinstance(node, optax.ScaleByAmsgradState):
+            found += 1
+            return node._replace(
+                count=jnp.asarray(count, jnp.int32),
+                mu=jax.tree.map(jnp.asarray, mu),
+                nu=jax.tree.map(jnp.asarray, nu),
+                nu_max=jax.tree.map(jnp.asarray, nu_max))
+        if isinstance(node, tuple):
+            children = [walk(c) for c in node]
+            return (type(node)(*children) if hasattr(node, "_fields")
+                    else tuple(children))
+        return node
+
+    out = walk(opt_state)
+    if found != 1:
+        raise ValueError(
+            f"expected exactly one amsgrad state in the optimizer tree, "
+            f"found {found}")
+    return out
+
+
 def create_motion_state(key: jax.Array, cfg: MotionConfig,
                         steps_per_epoch: int = 1):
     """Initialize (model, state)."""

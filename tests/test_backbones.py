@@ -18,7 +18,9 @@ from renderloom.models.perceptual import PerceptualLoss
 def test_backbone_taps_and_shapes(net):
     model, variables, layers, pre = build_backbone(net)
     assert not pre
-    out = model.apply(variables, jnp.zeros((2, 64, 96, 3)))
+    # inception's five stride-2 stages need ~75px+ inputs (as torch)
+    h, w = (96, 128) if net == "inception_v3" else (64, 96)
+    out = model.apply(variables, jnp.zeros((2, h, w, 3)))
     assert set(out) == set(layers)
     for v in out.values():
         assert v.shape[0] == 2
@@ -107,6 +109,111 @@ def test_resnet50_import_and_forward():
     out = model.apply(variables, jnp.zeros((1, 64, 64, 3)) + 0.1)
     assert set(out) == set(BACKBONES["resnet50"][2])
     assert out["layer_4"].shape == (1, 2, 2, 2048)
+
+
+def test_inception_import_roundtrip():
+    """The torchvision-schema loader inverts the module layout: dump the
+    flax init back to torch naming, reload, assert tree equality."""
+    from renderloom.models.backbones import load_inception_state
+
+    model, variables, layers, _ = build_backbone("inception_v3")
+    state = {}
+
+    def walk(params, stats, prefix):
+        for k, v in params.items():
+            path = f"{prefix}.{k}" if prefix else k
+            if k == "conv":
+                state[f"{prefix}.conv.weight"] = np.transpose(
+                    np.asarray(v["kernel"]), (3, 2, 0, 1))
+            elif k == "bn":
+                state[f"{prefix}.bn.weight"] = np.asarray(v["scale"])
+                state[f"{prefix}.bn.bias"] = np.asarray(v["bias"])
+                st = stats["bn"]
+                state[f"{prefix}.bn.running_mean"] = np.asarray(st["mean"])
+                state[f"{prefix}.bn.running_var"] = np.asarray(st["var"])
+            else:
+                walk(v, stats.get(k, {}), path)
+
+    walk(variables["params"], variables["batch_stats"], "")
+    reloaded = load_inception_state(state)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(variables["params"])
+    flat_b = jax.tree_util.tree_leaves_with_path(reloaded["params"])
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(sorted(flat_a, key=lambda kv: str(kv[0])),
+                                  sorted(flat_b, key=lambda kv: str(kv[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_allclose(va, vb, err_msg=str(pa))
+
+
+def test_robust_resnet50_unwraps_prefixes():
+    from renderloom.models.backbones import load_robust_resnet50_state
+
+    state = _tv_resnet50_state(np.random.default_rng(1))
+    wrapped = {f"module.model.{k}": v for k, v in state.items()}
+    variables = load_robust_resnet50_state(wrapped)
+    model = build_backbone("robust_resnet50")[0]
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 3)) + 0.1)
+    assert set(out) == set(BACKBONES["robust_resnet50"][2])
+
+
+def test_vgg_face_parity_vs_torch():
+    """VGG-Face trunk+classifier vs a hand-built torch equivalent of the
+    reference's Sequential (losses.py:440-495) with identical weights —
+    proves the NCHW-ordered flatten before fc6 and the tap table."""
+    torch = pytest.importorskip("torch")
+    from renderloom.models.backbones import load_vgg_face_state
+
+    torch.manual_seed(0)
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+    feats, in_ch = [], 3
+    for v in cfg:
+        if v == "M":
+            feats.append(torch.nn.MaxPool2d(2, 2))
+        else:
+            feats.append(torch.nn.Conv2d(in_ch, v, 3, padding=1))
+            feats.append(torch.nn.ReLU())
+            in_ch = v
+    features = torch.nn.Sequential(*feats)
+    fc6 = torch.nn.Linear(25088, 4096)
+    fc7 = torch.nn.Linear(4096, 4096)
+    fc8 = torch.nn.Linear(4096, 2622)
+
+    state = {f"features.{i}.weight": m.weight.detach().numpy()
+             for i, m in enumerate(features)
+             if isinstance(m, torch.nn.Conv2d)}
+    state.update({f"features.{i}.bias": m.bias.detach().numpy()
+                  for i, m in enumerate(features)
+                  if isinstance(m, torch.nn.Conv2d)})
+    for idx, fc in (("0", fc6), ("3", fc7), ("6", fc8)):
+        state[f"classifier.{idx}.weight"] = fc.weight.detach().numpy()
+        state[f"classifier.{idx}.bias"] = fc.bias.detach().numpy()
+
+    variables = load_vgg_face_state(state)
+    model, _, layers, _ = build_backbone("vgg_face_dag")
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 0.5, (2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        h = features(torch.from_numpy(x))
+        h = torch.nn.AdaptiveAvgPool2d((7, 7))(h)
+        t_avg = h
+        h = h.reshape(h.shape[0], -1)
+        t_fc6 = fc6(h)
+        t_fc7 = fc7(torch.relu(t_fc6))
+        t_fc8 = fc8(torch.relu(t_fc7))
+
+    out = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(out["avgpool"]),
+        t_avg.numpy().transpose(0, 2, 3, 1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["fc6"]), t_fc6.numpy(),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(out["fc7"]), t_fc7.numpy(),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(out["fc8"]), t_fc8.numpy(),
+                               atol=3e-4)
 
 
 def test_perceptual_loss_alt_network():

@@ -321,6 +321,104 @@ def test_motion_import_parity_vs_reference(tmp_path):
                                atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                    reason="reference tree not present")
+def test_motion_opt_moment_import(tmp_path):
+    """Adam-moment import (VERDICT r2 #8): run the REFERENCE transformer
+    + torch Adam(amsgrad) a few steps, save ``opt_epochNNN.pth`` exactly
+    as trainer.py:221-225 does, re-import torch-free, and assert the
+    spliced optax amsgrad state carries the same moments."""
+    import jax.numpy as jnp
+    import optax
+
+    from renderloom.data.torch_import import map_motion_opt_state
+    from renderloom.train.motion import (create_motion_state,
+                                         splice_amsgrad_state)
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        from models.transformer import build_transformer
+    finally:
+        sys.path.remove(REFERENCE)
+
+    d, layers, ffn, heads, joints = 16, 2, 32, 2, 38
+
+    class RefCfg:
+        input_joints = joints
+        hidden_dim = d
+        dropout = 0.0
+        nheads = heads
+        dim_feedforward = ffn
+        enc_layers = layers
+        dec_layers = layers
+        activation = "leaky_relu"
+        pre_norm = True
+        intermediate = False
+        two_stage = True
+
+    torch.manual_seed(0)
+    ref = build_transformer(RefCfg()).train()
+    opt = torch.optim.Adam(
+        [{"params": ref.parameters(), "lr_mult": 1.0}],
+        lr=1e-3, betas=(0.5, 0.999), amsgrad=True)
+    # a few noisy steps so every moment is non-trivial
+    g = torch.Generator().manual_seed(1)
+    for _ in range(3):
+        opt.zero_grad()
+        for p in ref.parameters():
+            p.grad = torch.randn(p.shape, generator=g) * 0.01
+        opt.step()
+
+    model_pth = str(tmp_path / "model_epoch003.pth")
+    opt_pth = str(tmp_path / "opt_epoch003.pth")
+    torch.save(ref.state_dict(), model_pth,
+               _use_new_zipfile_serialization=False)
+    torch.save({"transformer": opt.state_dict()}, opt_pth,
+               _use_new_zipfile_serialization=False)
+
+    model_keys = list(flatten_state_dict(read_pth(model_pth)))
+    count, mu, nu, nu_max = map_motion_opt_state(read_pth(opt_pth),
+                                                 model_keys)
+    assert count == 3
+
+    cfg = _tiny_cfg(d=d, heads=heads, layers=layers, ffn=ffn)
+    _, tx, state = create_motion_state(jax.random.PRNGKey(0), cfg)
+    spliced = splice_amsgrad_state(state.opt_state, count, mu, nu,
+                                   nu_max)
+
+    # locate the amsgrad state and compare a few named leaves against
+    # the torch moments (param 0 is input_embed.weight)
+    def find_ams(node):
+        if isinstance(node, optax.ScaleByAmsgradState):
+            return node
+        if isinstance(node, tuple):
+            for c in node:
+                r = find_ams(c)
+                if r is not None:
+                    return r
+        return None
+
+    ams = find_ams(spliced)
+    assert int(ams.count) == 3
+    t_state = opt.state_dict()["state"]
+    np.testing.assert_allclose(
+        np.asarray(ams.mu["input_embed"]["kernel"]),
+        t_state[0]["exp_avg"].numpy().T, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(ams.nu_max["input_embed"]["kernel"]),
+        t_state[0]["max_exp_avg_sq"].numpy().T, atol=1e-7)
+    # moment trees must match the param tree structure exactly
+    assert (jax.tree.map(lambda x: x.shape, ams.mu)
+            == jax.tree.map(lambda x: x.shape, state.params))
+
+    # and the spliced state must still step
+    from renderloom.train.motion import make_train_step
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    updates, _ = tx.update(grads, spliced, state.params)
+    assert np.isfinite(
+        np.asarray(jax.tree_util.tree_leaves(updates)[0])).all()
+
+
 def test_vgg19_state_to_npz_roundtrip(tmp_path):
     from renderloom.models.perceptual import (TORCHVISION_CONV_IDX,
                                               load_torchvision_npz)
