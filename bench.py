@@ -257,10 +257,15 @@ def bench_gan_train(steps: int = 4, warmup: int = 1) -> dict:
     on_tpu = jax.default_backend() == "tpu"
     cfg = RendererConfig(
         compute_dtype="bfloat16" if on_tpu else "float32")
-    # batch 4 @ 480x320 fits HBM without rematerialization; remat costs
-    # ~10% step time here (measured; keep it for larger batches/frames)
+    # batch 4 (the reference's config) fits HBM without remat; remat
+    # costs ~3-10% step time (measured; keep it for larger frames).
+    # BENCH_GAN_BATCH=8 runs the throughput-optimal config
+    # (scripts/gan_cost_tpu.py: near-perfect scaling to B=8 — the B=4
+    # step is utilization-starved, see BASELINE.md round-3 table).
     cfg = dataclasses.replace(
-        cfg, gen=dataclasses.replace(cfg.gen, do_checkpoint=False))
+        cfg, batch_size=int(os.environ.get("BENCH_GAN_BATCH",
+                                           cfg.batch_size)),
+        gen=dataclasses.replace(cfg.gen, do_checkpoint=False))
     if not on_tpu:   # CPU fallback: reduced shapes, tagged below
         cfg = dataclasses.replace(
             cfg, batch_size=2,
