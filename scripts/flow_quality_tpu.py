@@ -66,14 +66,15 @@ def main(train_epochs: int = 40):
     print("h5 built")
 
     # ---- 1. train the UNet on the h5's sliding triplets -------------
-    from renderloom.cli.train_flow import main as train_flow_main
+    from renderloom.core import checkpoint as ckpt
 
     out_dir = "/tmp/flow_quality_run"
-    train_flow_main(["--h5", h5, "--out-dir", out_dir,
-                     "--height", "320", "--width", "480",
-                     "--epochs", str(train_epochs)])
+    if ckpt.latest_step(os.path.join(out_dir, "ckpt")) is None:
+        from renderloom.cli.train_flow import main as train_flow_main
 
-    from renderloom.core import checkpoint as ckpt
+        train_flow_main(["--h5", h5, "--out-dir", out_dir,
+                         "--height", "320", "--width", "480",
+                         "--epochs", str(train_epochs)])
     from renderloom.core.config import FlowConfig
     from renderloom.models.flownet import make_learned_interp
     from renderloom.train.flow import create_flow_state
@@ -139,19 +140,55 @@ def main(train_epochs: int = 40):
         print(f"{name:<28s} PSNR mean {results[name][0]:6.2f} dB  "
               f"min {results[name][1]:6.2f} dB  ({len(vals)} triplets)")
 
+    # ---- 2b. background-only PSNR on a continuous subpixel pan — the
+    # role flow serves in the pipeline is backgrounds behind a
+    # composited foreground, i.e. smooth scene motion without
+    # articulation.  (The h5's gt_dain backgrounds are a degenerate
+    # test: integer rolls of ≤1px between frames, copy-first wins.)
+    # This makes the former "55-65 dB on pan/zoom" comment a measured
+    # artifact.
+    from scripts.train_eval_tpu_demo import _scene
+
+    scene = jnp.asarray(_scene(np.random.default_rng(7)))
+
+    def pan(i):
+        # subpixel diagonal pan, ~2.3 px/frame
+        return jax.image.scale_and_translate(
+            scene, scene.shape, (0, 1),
+            jnp.ones(2), jnp.asarray([-0.6 * i, -2.2 * i]),
+            method="bilinear")
+
+    bg = np.stack([np.asarray(pan(i)) for i in range(17)])
+    b0, b1, b2 = bg[:-2], bg[1:-1], bg[2:]
+
+    def crop(x):
+        # score the interior only so PSNR measures interpolation, not
+        # the panned-in boundary extrapolation
+        return x[16:-16, 48:-48]
+
+    results_bg = {}
+    for name, fn in backends.items():
+        vals = [psnr(crop(fn(a, c)), crop(b))
+                for a, b, c in zip(b0, b1, b2)]
+        results_bg[name] = (float(np.mean(vals)), float(np.min(vals)))
+        print(f"{name:<28s} BG-PSNR mean {results_bg[name][0]:6.2f} dB  "
+              f"min {results_bg[name][1]:6.2f} dB")
+
     # ---- 3. production-path throughput: rate-4 upsample of 8 keys ---
     from renderloom.ops.flow import upsample_background
 
     keys = jnp.asarray(clip[::2][:8] / 255.0)       # 8 keyframes
 
     def timed(fn, reps=10):
-        out = fn(0.0)
-        float(jnp.sum(out) * 1e-20)
+        # warm up with an ARRAY-typed carry: fn(0.0) traces a weak-typed
+        # python scalar, and the first fn(<device scalar>) would retrace
+        # (and compile) INSIDE the timed loop otherwise
+        carry = jnp.sum(fn(0.0)) * 1e-20
+        carry = jnp.sum(fn(carry)) * 1e-20
+        float(carry)                         # hard sync
         tic = time.perf_counter()
-        carry = 0.0
         for _ in range(reps):
-            out = fn(carry)
-            carry = jnp.sum(out) * 1e-20
+            carry = jnp.sum(fn(carry)) * 1e-20
         float(carry)
         return (time.perf_counter() - tic) / reps * 1e3
 
@@ -179,6 +216,7 @@ def main(train_epochs: int = 40):
                "train_epochs": train_epochs,
                "psnr_db": {k: v[0] for k, v in results.items()},
                "psnr_min_db": {k: v[1] for k, v in results.items()},
+               "bg_psnr_db": {k: v[0] for k, v in results_bg.items()},
                "upsample_ms": timings}
     print(json.dumps(summary))
     with open("/tmp/flow_quality.json", "w") as f:
