@@ -180,11 +180,11 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
     fused_raster = jax.default_backend() == "tpu"
 
     @jax.jit
-    def prep_fn(pred, dense_conf, backs):
+    def prep_fn(pred, dense_conf, backs, keys):
         poses = jnp.concatenate([pred * 256 + 256, dense_conf], axis=1)
         poses = jnp.transpose(poses, (2, 0, 1)).astype(jnp.float32)
         images = jnp.zeros((L, H, W, 3), jnp.float32)
-        images = images.at[::rate].set(keys_dev * 255.0)
+        images = images.at[::rate].set(keys * 255.0)
         prep = prepare_batch(None, {"images": images[None],
                                     "dain": backs[None] * 255.0,
                                     "poses": poses[None]},
@@ -201,17 +201,19 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
     # dispatch per clip (per-call latency through the tunneled TPU is
     # tens of ms — it dominated the un-fused number)
     @jax.jit
-    def e2e_once(m_params, g_params, motion_dev, conf_dev):
+    def e2e_once(m_params, g_params, motion_dev, conf_dev, keys):
         pred, _, dense_conf = interp._run(m_params, motion_dev, conf_dev,
                                           rate, times, interp_pad)
         # quarter-res flow, single LK iteration: the quality-validated
         # setting for the background role — 62.4 dB mean / 54.0 dB min
         # on subpixel pans, beating full-res LK and the learned UNet
         # (BASELINE.md "Flow-backend quality gate"; flow gathers are
-        # the TPU cost)
-        backs = upsample_background(keys_dev, rate, levels=3,
+        # the TPU cost).  `keys` MUST be an argument: captured it
+        # embeds as an HLO constant and XLA folds the whole
+        # carry-independent flow subgraph out of the timed program.
+        backs = upsample_background(keys, rate, levels=3,
                                     iters=1, flow_scale=4)
-        batch = prep_fn(pred[:, :, :L], dense_conf, backs)
+        batch = prep_fn(pred[:, :, :L], dense_conf, backs, keys)
         fused, _ = rollout(g_params, {}, batch)
         # scalar checksum: the next iteration's input depends on it, so
         # repeated runs cannot overlap/cache, and fetching it at the end
@@ -224,7 +226,7 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
 
     def run_once(carry):
         return e2e_once(interp.params, folded_g,
-                        motion_dev + carry, conf_dev)
+                        motion_dev + carry, conf_dev, keys_dev + carry)
 
     _, carry = run_once(0.0)                   # compile (weak-typed 0.0)
     _, carry = run_once(carry)                 # compile the array-typed

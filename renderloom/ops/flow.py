@@ -76,6 +76,52 @@ def backward_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
     return bilinear_sample(img, sx, sy, mode="nearest")
 
 
+def _shift_resample1d(img: jax.Array, f: jax.Array, axis: int,
+                      max_disp: int) -> jax.Array:
+    """1-D bilinear resample of (H, W, C) along ``axis`` by per-pixel
+    offset ``f`` (H, W), expressed as a weighted sum of 2·max_disp+2
+    integer shifts of an edge-padded copy.
+
+    TPU-native replacement for the gather formulation: gathers lower to
+    slow scalarizing loops on TPU (~4.5 ms per 320×480 warp measured),
+    while this is one fused elementwise kernel over static slices
+    (~0.25 ms per pass — ``scripts/warp_micro_tpu.py``).  Offsets are
+    clipped to ±max_disp; positions past the border read edge values,
+    matching ``bilinear_sample(mode="nearest")``.
+    """
+    R = int(max_disp)
+    f = jnp.clip(f, -float(R), float(R))
+    f0 = jnp.floor(f)
+    w = (f - f0)[..., None]
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (R + 1, R + 1)
+    p = jnp.pad(img, pad, mode="edge")
+    n = img.shape[axis]
+    acc = jnp.zeros_like(img)
+    for d in range(-R, R + 2):
+        sh = jax.lax.slice_in_dim(p, d + R + 1, d + R + 1 + n, axis=axis)
+        wgt = ((f0 == d).astype(img.dtype)[..., None] * (1.0 - w)
+               + (f0 == d - 1).astype(img.dtype)[..., None] * w)
+        acc = acc + wgt * sh
+    return acc
+
+
+def backward_warp_shift(img: jax.Array, flow: jax.Array,
+                        max_disp: int = 16) -> jax.Array:
+    """Separable shift-and-blend backward warp: sample ``img`` (H,W,C)
+    at ``x + flow`` with |flow| clipped to ±max_disp per axis.
+
+    Horizontal pass then vertical pass — exact for locally-constant
+    flow (e.g. the quarter-res-estimated background fields this module
+    produces; the quality gate in ``scripts/flow_quality_tpu.py``
+    validates the production path end-to-end), with an
+    O(f_y·∂f_x/∂y·px) separability error on smoothly-varying flow.
+    ~9× faster than the gather-based :func:`backward_warp` on TPU
+    (``scripts/warp_micro_tpu.py``)."""
+    out = _shift_resample1d(img, flow[..., 0], 1, max_disp)
+    return _shift_resample1d(out, flow[..., 1], 0, max_disp)
+
+
 def _gray(img: jax.Array) -> jax.Array:
     return jnp.mean(img, axis=-1)
 
@@ -182,10 +228,10 @@ def frame_double_pairs(frames: jax.Array, levels: int = 4,
 
 
 @partial(jax.jit, static_argnames=("rate", "levels", "iters",
-                                   "interp_fn", "flow_scale"))
+                                   "interp_fn", "flow_scale", "max_disp"))
 def upsample_background(frames: jax.Array, rate: int, levels: int = 4,
                         iters: int = 3, interp_fn=None,
-                        flow_scale: int = 1) -> jax.Array:
+                        flow_scale: int = 1, max_disp: int = 16) -> jax.Array:
     """(K, H, W, C) keyframes → ((K-1)·rate+1, ...).
 
     Default (LK) backend: flow is estimated ONCE per keyframe pair (both
@@ -219,25 +265,43 @@ def upsample_background(frames: jax.Array, rate: int, levels: int = 4,
         hs, ws = H // flow_scale, W // flow_scale
         a_s = jax.image.resize(a, (a.shape[0], hs, ws, C), "bilinear")
         b_s = jax.image.resize(b, (b.shape[0], hs, ws, C), "bilinear")
-        flows = jax.vmap(
+        flows_s = jax.vmap(
             lambda x, y: estimate_flow(x, y, levels, iters))(a_s, b_s)
         flows = flow_scale * jax.image.resize(
-            flows, (flows.shape[0], H, W, 2), "bilinear")
+            flows_s, (flows_s.shape[0], H, W, 2), "bilinear")
+        # forward-backward consistency (interpolate_pair's blend
+        # weights) at FLOW resolution: the weights are smooth, so
+        # computing them where the flow lives and upsampling replaces
+        # 2(K-1) full-res warps with quarter-res ones
+        c_s = jax.vmap(
+            lambda x, f: backward_warp_shift(x, f, max_disp))(b_s, flows_s)
+        e_s = jnp.mean(jnp.abs(c_s - a_s), axis=-1, keepdims=True)
+        errs = jax.image.resize(e_s, (e_s.shape[0], H, W, 1), "bilinear")
+        e0, e1 = errs[:K - 1], errs[K - 1:]
     else:
         flows = jax.vmap(
             lambda x, y: estimate_flow(x, y, levels, iters))(a, b)
+        c1 = jax.vmap(backward_warp)(p1, flows[:K - 1])
+        c0 = jax.vmap(backward_warp)(p0, flows[K - 1:])
+        e0 = jnp.mean(jnp.abs(c1 - p0), axis=-1, keepdims=True)
+        e1 = jnp.mean(jnp.abs(c0 - p1), axis=-1, keepdims=True)
     f01, f10 = flows[:K - 1], flows[K - 1:]
 
-    # per-pair forward/backward consistency errors (interpolate_pair's
-    # blend weights), computed once and reused for every t
-    c1 = jax.vmap(backward_warp)(p1, f01)
-    c0 = jax.vmap(backward_warp)(p0, f10)
-    e0 = jnp.mean(jnp.abs(c1 - p0), axis=-1, keepdims=True)
-    e1 = jnp.mean(jnp.abs(c0 - p1), axis=-1, keepdims=True)
+    # full-res synthesis warps.  flow_scale>1 (the smooth-flow regime:
+    # fields estimated at 1/flow_scale res are locally near-constant)
+    # uses the gather-free shift-and-blend warp — the TPU cost of this
+    # whole function drops ~9×; ``max_disp`` bounds the per-axis
+    # displacement (cost linear in it — raise for content moving
+    # >max_disp px between keyframes).  flow_scale=1 keeps the exact
+    # bilinear gather (bit-compatible with frame_double_pairs at rate 2).
+    if flow_scale > 1:
+        warp = jax.vmap(lambda x, f: backward_warp_shift(x, f, max_disp))
+    else:
+        warp = jax.vmap(backward_warp)
 
     def at_t(t):
-        w0 = jax.vmap(backward_warp)(p0, t * f10)
-        w1 = jax.vmap(backward_warp)(p1, (1.0 - t) * f01)
+        w0 = warp(p0, t * f10)
+        w1 = warp(p1, (1.0 - t) * f01)
         a0 = (1.0 - t) / (1.0 + e0)
         a1 = t / (1.0 + e1)
         return (a0 * w0 + a1 * w1) / (a0 + a1)

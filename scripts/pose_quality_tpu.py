@@ -36,16 +36,17 @@ def main(train_epochs: int = 30):
     h5 = build_h5("/tmp/pose_demo_hsm.h5")
     print("h5 built")
 
-    # ---- train ------------------------------------------------------
-    from renderloom.cli.train_pose import main as train_pose_main
+    # ---- train (skipped when a finished checkpoint is cached) -------
+    from renderloom.core import checkpoint as ckpt
 
     out_dir = "/tmp/pose_quality_run"
     H, W = 320, 480
-    train_pose_main(["--h5", h5, "--out-dir", out_dir,
-                     "--height", str(H), "--width", str(W),
-                     "--epochs", str(train_epochs)])
+    if ckpt.latest_step(os.path.join(out_dir, "ckpt")) is None:
+        from renderloom.cli.train_pose import main as train_pose_main
 
-    from renderloom.core import checkpoint as ckpt
+        train_pose_main(["--h5", h5, "--out-dir", out_dir,
+                         "--height", str(H), "--width", str(W),
+                         "--epochs", str(train_epochs)])
     from renderloom.core.config import PoseNetConfig
     from renderloom.models.posenet import decode_heatmaps
     from renderloom.train.pose import create_pose_state
@@ -69,10 +70,10 @@ def main(train_epochs: int = 30):
         logits = model.apply({"params": params}, imgs / 255.0)
         return decode_heatmaps(logits)
 
-    pred = np.asarray(infer(jnp.asarray(clip)))   # (17, 19, 3) xy+conf
+    kps, _conf = infer(jnp.asarray(clip))
+    pr_xy = np.asarray(kps)                       # (17, 19, 2) x, y px
 
     gt_xy = gt[..., :2]
-    pr_xy = pred[..., :2]
     err = np.linalg.norm(pr_xy - gt_xy, axis=-1)        # (17, 19) px
 
     # PCK threshold: 0.1 x max bbox side of the GT skeleton per frame

@@ -73,32 +73,37 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
     times = int(np.log2(rate))
     fused_raster = on_tpu
 
-    # ---- stage jits (perturb one input by the carry so reps chain) ----
+    # ---- stage jits.  Two methodology rules (both learned the hard
+    # way): (1) every big array is an explicit ARGUMENT — captured
+    # arrays embed as HLO constants, which lets XLA fold whole
+    # carry-independent subgraphs at compile time and blows the
+    # tunnel's remote-compile upload limit (HTTP 413) for batch-sized
+    # captures; (2) the carry threads one input so reps serialize.
     @jax.jit
-    def s_motion(carry):
+    def s_motion(m_params, motion_in, conf_in):
         pred, _, dense_conf = interp._run(
-            interp.params, motion + carry, conf, rate, times, interp_pad)
+            m_params, motion_in, conf_in, rate, times, interp_pad)
         out = (pred, dense_conf)
         return out, jnp.sum(pred) * 1e-20
 
     @jax.jit
-    def s_flow(carry):
-        backs = upsample_background(keys_dev + carry, rate, levels=3,
+    def s_flow(keys):
+        backs = upsample_background(keys, rate, levels=3,
                                     iters=1, flow_scale=4)
         return backs, jnp.sum(backs) * 1e-20
 
-    (pred0, dconf0), _ = s_motion(0.0)
-    backs0, _ = s_flow(0.0)
+    (pred0, dconf0), _ = s_motion(interp.params, motion, conf)
+    backs0, _ = s_flow(keys_dev)
 
     @jax.jit
-    def s_prep(carry):
+    def s_prep(pred_in, dconf_in, backs, keys):
         poses = jnp.concatenate(
-            [pred0[:, :, :L] * 256 + 256 + carry, dconf0], axis=1)
+            [pred_in[:, :, :L] * 256 + 256, dconf_in], axis=1)
         poses = jnp.transpose(poses, (2, 0, 1)).astype(jnp.float32)
         images = jnp.zeros((L, H, W, 3), jnp.float32)
-        images = images.at[::rate].set(keys_dev * 255.0)
+        images = images.at[::rate].set(keys * 255.0)
         prep = prepare_batch(None, {"images": images[None],
-                                    "dain": backs0[None] * 255.0,
+                                    "dain": backs[None] * 255.0,
                                     "poses": poses[None]},
                              rcfg.data, train=False,
                              fused_raster=fused_raster)
@@ -106,27 +111,25 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
                  "key_img": prep["image"], "is_key": is_key}
         return batch, jnp.sum(prep["label"]) * 1e-20
 
-    batch0, _ = s_prep(0.0)
+    batch0, _ = s_prep(pred0, dconf0, backs0, keys_dev)
 
     @jax.jit
-    def s_rollout(carry):
-        b = dict(batch0)
-        b["back"] = b["back"] + carry
-        fused, _ = rollout(folded_g, {}, b)
+    def s_rollout(g_params, batch):
+        fused, _ = rollout(g_params, {}, batch)
         return fused, jnp.sum(fused) * 1e-20
 
     # ---- fused whole (bench.py's e2e_once) for cross-check ----
     @jax.jit
-    def s_all(carry):
+    def s_all(m_params, g_params, motion_in, conf_in, keys):
         pred, _, dense_conf = interp._run(
-            interp.params, motion + carry, conf, rate, times, interp_pad)
-        backs = upsample_background(keys_dev, rate, levels=3, iters=1,
+            m_params, motion_in, conf_in, rate, times, interp_pad)
+        backs = upsample_background(keys, rate, levels=3, iters=1,
                                     flow_scale=4)
         poses = jnp.concatenate([pred[:, :, :L] * 256 + 256, dense_conf],
                                 axis=1)
         poses = jnp.transpose(poses, (2, 0, 1)).astype(jnp.float32)
         images = jnp.zeros((L, H, W, 3), jnp.float32)
-        images = images.at[::rate].set(keys_dev * 255.0)
+        images = images.at[::rate].set(keys * 255.0)
         prep = prepare_batch(None, {"images": images[None],
                                     "dain": backs[None] * 255.0,
                                     "poses": poses[None]},
@@ -134,28 +137,40 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
                              fused_raster=fused_raster)
         b = {"label": prep["label"], "back": prep["back"],
              "key_img": prep["image"], "is_key": is_key}
-        fused, _ = rollout(folded_g, {}, b)
+        fused, _ = rollout(g_params, {}, b)
         return fused, jnp.sum(fused) * 1e-20
 
-    def bench(fn, name):
-        _, carry = fn(0.0)                  # compile
+    def bench(fn, name, make_args):
+        # warm up TWICE: the first call traces the weak-typed 0.0
+        # carry, the second traces (and compiles) the array-typed carry
+        # the timed loop actually uses — without it the retrace lands
+        # inside the timed reps
+        _, carry = fn(*make_args(0.0))
+        _, carry = fn(*make_args(carry))
         float(carry)                        # hard sync
         tic = time.perf_counter()
         for _ in range(reps):
-            _, carry = fn(carry)
+            _, carry = fn(*make_args(carry))
         float(carry)                        # hard sync
         ms = (time.perf_counter() - tic) / reps * 1e3
         print(f"{name:<22s} {ms:8.2f} ms/clip   "
-              f"{ms / L:6.3f} ms/frame")
+              f"{ms / L:6.3f} ms/frame", flush=True)
         return ms
 
     print(f"platform={jax.default_backend()}  {H}x{W} rate={rate} "
-          f"K={K} -> {L} frames, {reps} reps")
-    t_m = bench(s_motion, "motion upsample")
-    t_f = bench(s_flow, "flow backgrounds")
-    t_p = bench(s_prep, "label prep (raster)")
-    t_r = bench(s_rollout, "rollout+composite")
-    t_a = bench(s_all, "FUSED pipeline")
+          f"K={K} -> {L} frames, {reps} reps", flush=True)
+    t_m = bench(s_motion, "motion upsample",
+                lambda c: (interp.params, motion + c, conf))
+    t_f = bench(s_flow, "flow backgrounds",
+                lambda c: (keys_dev + c,))
+    t_p = bench(s_prep, "label prep (raster)",
+                lambda c: (pred0 + c, dconf0, backs0, keys_dev))
+    t_r = bench(s_rollout, "rollout+composite",
+                lambda c: (folded_g,
+                           {**batch0, "back": batch0["back"] + c}))
+    t_a = bench(s_all, "FUSED pipeline",
+                lambda c: (interp.params, folded_g, motion + c, conf,
+                           keys_dev + c))
     print(f"{'sum of stages':<22s} {t_m + t_f + t_p + t_r:8.2f} ms/clip "
           f"(fused saves {(t_m + t_f + t_p + t_r) - t_a:+.2f} ms of "
           "dispatch/overlap)")

@@ -229,3 +229,49 @@ def test_upsample_background_flow_scale():
                                        flow_scale=2)
     assert out.shape == (3, 32, 48, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_shift_warp_exact_on_constant_flow():
+    """backward_warp_shift == the gather bilinear warp when the flow is
+    locally constant (the separable decomposition is exact there)."""
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0, 1, (32, 48, 3)), jnp.float32)
+    flow = jnp.full((32, 48, 2), 0.0).at[..., 0].set(2.7).at[..., 1].set(
+        -1.3)
+    ref = flow_ops.backward_warp(img, flow)
+    fast = flow_ops.backward_warp_shift(img, flow, max_disp=8)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_shift_warp_close_on_smooth_flow():
+    """On a smoothly-varying field the separability error stays small
+    (the production regime: flow estimated at 1/4 res is smooth)."""
+    rng = np.random.default_rng(6)
+    img = jnp.asarray(rng.uniform(0, 1, (40, 56, 3)), jnp.float32)
+    yy, xx = np.mgrid[0:40, 0:56].astype(np.float32)
+    fx = 2.0 * np.sin(2 * np.pi * xx / 56) * np.cos(2 * np.pi * yy / 40)
+    fy = 1.5 * np.cos(2 * np.pi * xx / 56)
+    flow = jnp.asarray(np.stack([fx, fy], -1))
+    ref = flow_ops.backward_warp(img, flow)
+    fast = flow_ops.backward_warp_shift(img, flow, max_disp=8)
+    err = float(jnp.abs(fast - ref)[4:-4, 4:-4].mean())
+    # uniform-noise image + a field rougher than production quarter-res
+    # flow: a deliberately pessimistic bound.  The separable warp must
+    # still be an order of magnitude closer to the exact warp than the
+    # warp is to the unwarped image.
+    base = float(jnp.abs(ref - img)[4:-4, 4:-4].mean())
+    assert err < 0.05, err
+    assert err < 0.2 * base, (err, base)
+
+
+def test_shift_warp_edge_clamp():
+    """Displacements past the border read edge values, matching
+    bilinear_sample(mode='nearest') semantics."""
+    img = jnp.asarray(np.arange(12, dtype=np.float32).reshape(3, 4, 1)
+                      * jnp.ones((3, 4, 1)))
+    flow = jnp.full((3, 4, 2), 0.0).at[..., 0].set(10.0)  # off the right
+    ref = flow_ops.backward_warp(img, flow)
+    fast = flow_ops.backward_warp_shift(img, flow, max_disp=12)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=1e-5)
