@@ -27,7 +27,7 @@ from flax import struct
 
 from renderloom.core.config import FlowConfig
 from renderloom.models.flownet import FlowUNet, time_warp
-from renderloom.ops.flow import backward_warp
+from renderloom.ops.flow import backward_warp_shift
 
 
 class FlowTrainState(struct.PyTreeNode):
@@ -76,8 +76,11 @@ def flow_loss(model: FlowUNet, params, triplet: jax.Array,
     pred = jax.vmap(time_warp, in_axes=(0, 0, 0, 0, None))(
         f0, f2, f01, f10, jnp.asarray(0.5, jnp.float32))
     l_rec = jnp.mean(jnp.abs(pred - f_mid))
-    warp1 = jax.vmap(backward_warp)(f2, f01)
-    warp0 = jax.vmap(backward_warp)(f0, f10)
+    # same warp the net is deployed with (models/flownet.py:time_warp
+    # uses the shift warp) — train/test consistency; gradients match
+    # the gather bilinear warp's piecewise-linear subgradient
+    warp1 = jax.vmap(backward_warp_shift)(f2, f01)
+    warp0 = jax.vmap(backward_warp_shift)(f0, f10)
     l_photo = 0.5 * (jnp.mean(jnp.abs(warp1 - f0))
                      + jnp.mean(jnp.abs(warp0 - f2)))
     l_smooth = 0.5 * (_smoothness(f01) + _smoothness(f10))
