@@ -1,0 +1,135 @@
+"""Batched-serving scaling of the FULL e2e pipeline (motion → flow →
+raster → rollout → composite) on one chip.
+
+The B=1 headline is latency-bound: the rollout stage runs 2.2% MXU /
+18% HBM (scripts/rollout_cost.py) because SPADE's low-channel full-res
+convs under-fill the chip at segment-batch 7.  Serving N clips
+concurrently multiplies the segment batch to N·7 — this measures
+frames/s at N = 1, 2, 4, 8 with the hard-sync chained-carry
+methodology.  Every big array is a jit argument (see
+profile_e2e_tpu.py for why).
+
+Run:  python scripts/serving_e2e_tpu.py   (serialize TPU jobs)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from renderloom.core.cache import enable_compile_cache
+
+
+def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
+    enable_compile_cache()
+
+    from renderloom.core.config import MotionConfig, RendererConfig
+    from renderloom.data.hsm import prepare_batch
+    from renderloom.eval.motion_infer import (MotionInterpolator,
+                                              bucket_length)
+    from renderloom.ops.flow import upsample_background
+    from renderloom.train.gan import (create_gan_state,
+                                      fold_spectral_norm,
+                                      make_inference_generator,
+                                      make_segment_rollout)
+    from renderloom.train.motion import create_motion_state
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = "bfloat16" if on_tpu else "float32"
+    mcfg = MotionConfig(compute_dtype=dtype)
+    rcfg = RendererConfig(compute_dtype=dtype)
+    H, W = rcfg.data.model_height, rcfg.data.model_width
+
+    m_model, _, m_state = create_motion_state(jax.random.PRNGKey(0), mcfg)
+    interp = MotionInterpolator(
+        m_model, m_state.params, mcfg,
+        np.zeros((19, 2), np.float32), np.ones((19, 2), np.float32))
+    gen, _, _, r_state = create_gan_state(jax.random.PRNGKey(1), rcfg,
+                                          height=H, width=W)
+    folded_g = fold_spectral_norm(r_state.params_g, r_state.stats_g)
+    rollout = make_segment_rollout(make_inference_generator(rcfg), rcfg,
+                                   rate)
+
+    K = keyframes
+    L = (K - 1) * rate + 1
+    is_key = jnp.asarray(np.arange(L) % rate == 0)
+    interp_pad = bucket_length(L, rate)
+    times = int(np.log2(rate))
+    fused_raster = on_tpu
+
+    @jax.jit
+    def serve(m_params, g_params, motion_b, conf_b, keys_b):
+        # motion_b (N, 19, 2, K), keys_b (N, K, H, W, 3)
+        pred, _, dconf = jax.vmap(
+            lambda m, c: interp._run(m_params, m, c, rate, times,
+                                     interp_pad))(motion_b, conf_b)
+        # lax.map, NOT vmap: the vmapped flow holds (N, rate-1, K-1,
+        # H, W, 3) warp temporaries live (12 × 157 MB at N=4 — the
+        # allocations that pushed the 4-clip program past HBM).  Flow
+        # is 35 ms/clip; serializing it across clips costs little and
+        # frees ~2 GB for the rollout to batch into.
+        backs = jax.lax.map(
+            lambda k: upsample_background(k, rate, levels=3, iters=1,
+                                          flow_scale=4), keys_b)
+        poses = jnp.concatenate([pred[:, :, :, :L] * 256 + 256, dconf],
+                                axis=2)
+        poses = jnp.transpose(poses, (0, 3, 1, 2)).astype(jnp.float32)
+        N = keys_b.shape[0]
+        images = jnp.zeros((N, L, H, W, 3), jnp.float32)
+        images = images.at[:, ::rate].set(keys_b * 255.0)
+        prep = prepare_batch(None, {"images": images,
+                                    "dain": backs * 255.0,
+                                    "poses": poses},
+                             rcfg.data, train=False,
+                             fused_raster=fused_raster)
+        # the 22ch label is the biggest live tensor (1.56 GB fp32 at 4
+        # clips): stream it bf16 — the generator's first conv casts to
+        # bf16 anyway, and fp32 labels pushed the 4-clip program over
+        # HBM (15.87/15.75 GB) and the 2-clip one into XLA remat
+        ldt = jnp.bfloat16 if jax.default_backend() == "tpu" \
+            else jnp.float32
+        b = {"label": prep["label"].astype(ldt), "back": prep["back"],
+             "key_img": prep["image"], "is_key": is_key}
+        fused, _ = rollout(g_params, {}, b)
+        return fused, jnp.sum(fused) * 1e-20
+
+    rng = np.random.default_rng(0)
+    results = {}
+    for N in (1, 2, 4, 8):
+        motion_b = jnp.asarray(
+            rng.uniform(-0.4, 0.4, (N, 19, 2, K)), jnp.float32)
+        conf_b = jnp.asarray(np.full((N, 19, 1, K), 0.9), jnp.float32)
+        keys_b = jnp.asarray(
+            rng.uniform(0, 1, (N, K, H, W, 3)), jnp.float32)
+
+        def run(c):
+            return serve(interp.params, folded_g, motion_b + c, conf_b,
+                         keys_b + c)
+
+        _, carry = run(0.0)
+        _, carry = run(carry)            # array-typed carry trace
+        float(carry)
+        tic = time.perf_counter()
+        for _ in range(reps):
+            _, carry = run(carry)
+        float(carry)
+        ms = (time.perf_counter() - tic) / reps * 1e3
+        fps = N * L / (ms / 1e3)
+        results[N] = fps
+        print(f"clips={N}: {ms:8.2f} ms/batch  ->  {fps:7.1f} frames/s",
+              flush=True)
+
+    print({"serving_fps": {str(k): round(v, 1)
+                           for k, v in results.items()}})
+
+
+if __name__ == "__main__":
+    main()
