@@ -126,8 +126,7 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
     from renderloom.eval.motion_infer import MotionInterpolator
     from renderloom.ops.flow import upsample_background
     from renderloom.train.gan import (create_gan_state,
-                                      fold_spectral_norm,
-                                      make_inference_generator,
+                                      make_inference_pair,
                                       make_segment_rollout)
     from renderloom.train.motion import create_motion_state
 
@@ -160,9 +159,11 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
     # sequential steps (exact vs make_rollout; see train/gan.py).
     # Spectral norm is folded into the kernels once (bit-identical) so
     # the rollout skips hundreds of tiny serial power-iteration matmuls
-    folded_g = fold_spectral_norm(r_state.params_g, r_state.stats_g)
-    rollout = make_segment_rollout(make_inference_generator(rcfg), rcfg,
-                                   rate)
+    # on TPU the mask net additionally runs the exact parity-layout fast
+    # path (renderloom/models/fastpath.py)
+    inf_gen, folded_g = make_inference_pair(rcfg, r_state.params_g,
+                                            r_state.stats_g)
+    rollout = make_segment_rollout(inf_gen, rcfg, rate)
 
     rng = np.random.default_rng(0)
     K = keyframes

@@ -34,7 +34,8 @@ from renderloom.data import openpose as op_io
 from renderloom.data.hsm import HsmReader, prepare_window
 from renderloom.ops.image import masked_metrics
 from renderloom.train.gan import (fold_spectral_norm,
-                                  make_inference_generator, make_rollout,
+                                  make_inference_generator,
+                                  make_inference_pair, make_rollout,
                                   make_segment_rollout, rollout_chunked,
                                   segment_rollout_chunked)
 
@@ -57,8 +58,8 @@ def evaluate_h5(gen, state, cfg: RendererConfig, reader: HsmReader,
     # make_segment_rollout) when the clip is a whole number of segments;
     # generic sequential scan otherwise.  Spectral norm folded once for
     # inference (bit-identical, no per-frame power iterations).
-    inf_gen = make_inference_generator(cfg)
-    g_params = fold_spectral_norm(state.params_g, state.stats_g)
+    inf_gen, g_params = make_inference_pair(cfg, state.params_g,
+                                            state.stats_g)
     seg_rollout = make_segment_rollout(inf_gen, cfg, sample_rate)
     gen_rollout = make_rollout(inf_gen, cfg)
     d = cfg.data
@@ -192,9 +193,9 @@ def render_folder(gen, state, cfg: RendererConfig, input_dir: str,
     # chain, so no carry crosses chunks and the segments inside a chunk
     # run batched (make_segment_rollout).  Device memory stays O(chunk);
     # frames stream to disk.
-    rollout = make_segment_rollout(make_inference_generator(cfg), cfg,
-                                   rate)
-    g_params = fold_spectral_norm(state.params_g, state.stats_g)
+    inf_gen, g_params = make_inference_pair(cfg, state.params_g,
+                                            state.stats_g)
+    rollout = make_segment_rollout(inf_gen, cfg, rate)
     os.makedirs(out_dir, exist_ok=True)
     S = (seq_len - 1) // rate
     seg_chunk = max(min(16, S), 64 // rate)

@@ -128,6 +128,9 @@ class Generator(nn.Module):
 
     cfg: GeneratorConfig
     dtype: jnp.dtype = jnp.float32
+    # inference fast path computes the mask outside flax
+    # (renderloom/models/fastpath.py); the param tree is unchanged
+    with_mask: bool = True
 
     def filters(self, level: int) -> int:
         return _filters(self.cfg.num_filters, self.cfg.max_num_filters,
@@ -135,7 +138,7 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(self, label, label_prev, img_warped, img_prev,
-                 update_stats: bool = False
+                 update_stats: bool = False, cond_maps=None
                  ) -> Tuple[jax.Array, jax.Array]:
         g = self.cfg
         spectral = g.weight_norm_type == "spectral"
@@ -143,8 +146,10 @@ class Generator(nn.Module):
         n_res = int(-(-(g.num_layers - n_down) // 2) * 2)  # ceil to even
         n_embed = g.embed.num_downsamples
 
-        cond_maps = LabelEmbedder(g, self.dtype, name="ref_embed")(
-            jnp.concatenate([img_warped, img_prev], axis=-1), update_stats)
+        if cond_maps is None:       # inference fast path precomputes
+            cond_maps = LabelEmbedder(g, self.dtype, name="ref_embed")(
+                jnp.concatenate([img_warped, img_prev], axis=-1),
+                update_stats)
 
         block = lambda ch, name: SpadeResBlock(
             ch, g.kernel_size, g.spade_kernel_size, spectral,
@@ -182,6 +187,9 @@ class Generator(nn.Module):
         img = SNConv(g.input_image_nc, g.kernel_size, 1, spectral=False,
                      dtype=self.dtype, name="conv_img")(leaky(x))
         img = jnp.tanh(img)
+
+        if not self.with_mask:
+            return img, None
 
         mask = MaskGenerator(g, self.dtype, name="mask_net")(
             label.astype(self.dtype),

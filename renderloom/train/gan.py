@@ -570,3 +570,19 @@ def make_inference_generator(cfg: RendererConfig):
         embed=dataclasses.replace(cfg.gen.embed,
                                   weight_norm_type="none"))
     return Generator(gen_cfg, dtype)
+
+
+def make_inference_pair(cfg: RendererConfig, params_g, stats_g):
+    """(generator, folded params) for the rollout factories: spectral
+    norm folded into the kernels, and — on TPU (see
+    ``fastpath.use_fastpath``) — the mask net switched to the exact
+    parity-layout fast path with its transformed kernels attached."""
+    from renderloom.models.fastpath import (FastInferenceGen,
+                                            fold_fast_params,
+                                            use_fastpath)
+    gen = make_inference_generator(cfg)
+    folded = fold_spectral_norm(params_g, stats_g)
+    if use_fastpath():
+        gen = FastInferenceGen(gen)
+        folded = fold_fast_params(folded, cfg.gen)
+    return gen, folded

@@ -37,8 +37,7 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
                                               bucket_length)
     from renderloom.ops.flow import upsample_background
     from renderloom.train.gan import (create_gan_state,
-                                      fold_spectral_norm,
-                                      make_inference_generator,
+                                      make_inference_pair,
                                       make_segment_rollout)
     from renderloom.train.motion import create_motion_state
 
@@ -54,8 +53,9 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
         np.zeros((19, 2), np.float32), np.ones((19, 2), np.float32))
     gen, _, _, r_state = create_gan_state(jax.random.PRNGKey(1), rcfg,
                                           height=H, width=W)
-    folded_g = fold_spectral_norm(r_state.params_g, r_state.stats_g)
-    rollout = make_segment_rollout(make_inference_generator(rcfg), rcfg,
+    inf_gen, folded_g = make_inference_pair(rcfg, r_state.params_g,
+                                            r_state.stats_g)
+    rollout = make_segment_rollout(inf_gen, rcfg,
                                    rate)
 
     K = keyframes

@@ -1,0 +1,47 @@
+"""Fused Pallas instance norm == the XLA reference implementations
+(layers.instance_norm / fastpath.instance_norm_p4), with and without
+affine, parity statistics, and fused leaky."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from renderloom.models.fastpath import instance_norm_p4
+from renderloom.models.layers import LEAKY_SLOPE, instance_norm, leaky
+from renderloom.ops.norm_pallas import instance_norm_fused
+
+
+def _x(shape, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape),
+                       jnp.float32)
+
+
+def test_plain_matches():
+    x = _x((2, 8, 12, 5))
+    got = instance_norm_fused(x, interpret=True)
+    np.testing.assert_allclose(got, instance_norm(x), atol=1e-5)
+
+
+def test_affine_leaky_matches():
+    x = _x((2, 8, 12, 6), 1)
+    s = _x((6,), 2) + 2.0
+    b = _x((6,), 3)
+    got = instance_norm_fused(x, s, b, slope=LEAKY_SLOPE, interpret=True)
+    ref = leaky(instance_norm(x, scale=s, bias=b))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_parity_matches():
+    x = _x((2, 4, 6, 16), 4)
+    s = _x((16,), 5) + 2.0
+    b = _x((16,), 6)
+    got = instance_norm_fused(x, s, b, parity=True, slope=LEAKY_SLOPE,
+                              interpret=True)
+    ref = leaky(instance_norm_p4(x, s, b))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_no_tile_raises():
+    with pytest.raises(ValueError):
+        instance_norm_fused(_x((1, 1, 7, 4)), interpret=True)
