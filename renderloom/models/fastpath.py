@@ -39,7 +39,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .layers import leaky
+from .layers import avg_pool_3x3s2, leaky, upsample2x
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
@@ -212,7 +212,9 @@ def _in_std(x, ns, nb, eps=1e-5):
     m2 = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
     var = jnp.maximum(m2 - jnp.square(m1), 0.0)
     out = ((x32 - m1) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
-    return out * ns + nb
+    if ns is not None:
+        out = out * ns + nb
+    return out
 
 
 def use_pallas_norm() -> bool:
@@ -311,10 +313,11 @@ def transform_embed_params(embed_params: dict,
 
 
 def embed_apply_fast(tp: dict, x: jax.Array, cdt=jnp.float32,
-                     num_downsamples: int = 4):
+                     num_downsamples: int = 4, return_packed0=False):
     """Parity-layout LabelEmbedder forward — same level maps as
     ``LabelEmbedder.apply`` on the original params to float tolerance.
-    Returns ``num_downsamples + 1`` standard-layout maps."""
+    Returns ``num_downsamples + 1`` standard-layout maps (plus the
+    packed level-0 map for the packed trunk when ``return_packed0``)."""
     hp = leaky(_conv(space_to_depth(x.astype(cdt)), tp["first"]["k"],
                      tp["first"]["b"]))
     levels = [depth_to_space(hp)]
@@ -325,7 +328,197 @@ def embed_apply_fast(tp: dict, x: jax.Array, cdt=jnp.float32,
         p = tp[f"down_{i}"]
         h = leaky(_conv(h, p["k"], p["b"], padding=((1, 0), (1, 0))))
         levels.append(h)
+    if return_packed0:
+        return levels, hp
     return levels
+
+
+def avg_pool_s2d(xp: jax.Array) -> jax.Array:
+    """torch ``AvgPool2d(3, 2, padding=1, count_include_pad=True)`` on a
+    parity-packed tensor → standard-layout output at the packed spatial
+    resolution (generator.py:127 semantics): the 3×3 window around
+    full-res (2i, 2j) covers packed blocks {i-1, i} at fixed parities —
+    nine shifted parity slices, no materialized full-res tensor."""
+    B, h, w, C4 = xp.shape
+    C = C4 // 4
+    par = jnp.pad(xp.reshape(B, h, w, 4, C),
+                  ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+    taps = ((0, 1), (1, 0), (1, 1))     # (row offset into pad, parity)
+    acc = None
+    for orr, p in taps:
+        for occ, q in taps:
+            s = par[:, orr:orr + h, occ:occ + w, p * 2 + q, :]
+            acc = s if acc is None else acc + s
+    return acc / 9.0
+
+
+def _tile_k1(k: jax.Array) -> jax.Array:
+    """k1 pointwise kernel (1,1,Cin,Cout) → grouped-conv kernel for a
+    parity-packed input: groups=4, out group-major (= parity-major)."""
+    return jnp.tile(k, (1, 1, 1, 4))
+
+
+def _conv_k1_p4(x, k, b=None):
+    y = jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype), (1, 1), "SAME", dimension_numbers=_DN,
+        feature_group_count=4)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def _spade_std(x, cond, ak, ab):
+    """Standard-layout SPADE (renderer.py:Spade, k1 affine)."""
+    out = _norm(x, None, None)
+    B, H, W, _ = x.shape
+    if cond.shape[1] != H or cond.shape[2] != W:
+        cond = jax.image.resize(
+            cond, (cond.shape[0], H, W, cond.shape[-1]), method="nearest")
+    affine = _conv(cond, ak, ab)
+    gamma, beta = jnp.split(affine, 2, axis=-1)
+    return out * (1.0 + gamma) + beta
+
+
+def _spade_p4(xp, cond_p, ak4, ab4):
+    """Parity-packed SPADE: param-free parity-stat norm + grouped k1
+    affine over the packed condition (same resolution by construction).
+    ``ak4`` (1,1,C_e,4·2C) is the tiled affine kernel."""
+    C = ak4.shape[-1] // 8
+    out = _norm(xp, None, None, parity=True)
+    affine = _conv_k1_p4(cond_p, ak4, ab4)       # (B,h,w,4·2C)
+    B, h, w, _ = affine.shape
+    a = affine.reshape(B, h, w, 4, 2 * C)
+    gamma = a[..., :C].reshape(B, h, w, 4 * C)
+    beta = a[..., C:].reshape(B, h, w, 4 * C)
+    return out * (1.0 + gamma) + beta
+
+
+def _spade_block_p4(xp, cond_p, bp):
+    """Parity-packed SpadeResBlock (renderer.py:SpadeResBlock order)."""
+    h = _spade_p4(xp, cond_p, bp["a0k"], bp["a0b"])
+    h = _conv(leaky(h), bp["k0"], bp["b0"])
+    h = _spade_p4(h, cond_p, bp["a1k"], bp["a1b"])
+    h = _conv(leaky(h), bp["k1"], bp["b1"])
+    if "ks" in bp:
+        s = _spade_p4(xp, cond_p, bp["ask"], bp["asb"])
+        s = _conv_k1_p4(s, bp["ks"], bp["bs"])
+    else:
+        s = xp
+    return s + h
+
+
+def _spade_block_std(x, cond, bp):
+    h = _spade_std(x, cond, bp["a0k"], bp["a0b"])
+    h = _conv(leaky(h), bp["k0"], bp["b0"])
+    h = _spade_std(h, cond, bp["a1k"], bp["a1b"])
+    h = _conv(leaky(h), bp["k1"], bp["b1"])
+    if "ks" in bp:
+        s = _spade_std(x, cond, bp["ask"], bp["asb"])
+        s = _conv(s, bp["ks"], bp["bs"])
+    else:
+        s = x
+    return s + h
+
+
+def _sp(p):
+    """SpadeResBlock param subtree → flat kernels."""
+    out = {"a0k": p["spade0"]["affine"]["kernel"],
+           "a0b": p["spade0"]["affine"]["bias"],
+           "k0": p["conv0"]["conv"]["kernel"],
+           "b0": p["conv0"]["conv"]["bias"],
+           "a1k": p["spade1"]["affine"]["kernel"],
+           "a1b": p["spade1"]["affine"]["bias"],
+           "k1": p["conv1"]["conv"]["kernel"],
+           "b1": p["conv1"]["conv"]["bias"]}
+    if "conv_s" in p:
+        out.update({"ask": p["spade_s"]["affine"]["kernel"],
+                    "asb": p["spade_s"]["affine"]["bias"],
+                    "ks": p["conv_s"]["conv"]["kernel"],
+                    "bs": p["conv_s"]["conv"]["bias"]})
+    return out
+
+
+def _sp_p4(p):
+    """Parity-packed SpadeResBlock kernels: k3 convs via the s2d
+    embedding, k1 affines/shortcut via grouped tiling."""
+    f = _sp(p)
+    out = {"a0k": _tile_k1(f["a0k"]), "a0b": _tile4(f["a0b"]),
+           "k0": w_s1_s2d(f["k0"]), "b0": _tile4(f["b0"]),
+           "a1k": _tile_k1(f["a1k"]), "a1b": _tile4(f["a1b"]),
+           "k1": w_s1_s2d(f["k1"]), "b1": _tile4(f["b1"])}
+    if "ks" in f:
+        out.update({"ask": _tile_k1(f["ask"]), "asb": _tile4(f["asb"]),
+                    "ks": _tile_k1(f["ks"]), "bs": _tile4(f["bs"])})
+    return out
+
+
+def transform_trunk_params(params: dict, gen_cfg) -> dict:
+    """Folded Generator trunk params → fast-path kernels: the full-res
+    stages (down_first, down_0, up_0, conv_img — generator.py:104-129,
+    181-234 workload) in the parity layout, everything else flat
+    standard kernels.  Requires spade_kernel_size == 1 (the shipped
+    config, configs/HSM.yaml:48)."""
+    assert gen_cfg.spade_kernel_size == 1, "packed SPADE needs k1 affine"
+    n_down = gen_cfg.num_downsamples
+    n_res = int(-(-(gen_cfg.num_layers - n_down) // 2) * 2)
+
+    @jax.jit
+    def build(p):
+        tp = {"down_first": {
+            "k": w_s1_s2d(p["down_first"]["kernel"]),
+            "b": _tile4(p["down_first"]["bias"])}}
+        tp["down_0"] = _sp_p4(p["down_0"])
+        for i in range(1, n_down + 1):
+            tp[f"down_{i}"] = _sp(p[f"down_{i}"])
+        for i in range(n_res):
+            tp[f"res_{i}"] = _sp(p[f"res_{i}"])
+        for i in range(1, n_down + 1):
+            tp[f"up_{i}"] = _sp(p[f"up_{i}"])
+        tp["up_0"] = _sp_p4(p["up_0"])
+        tp["conv_img"] = {"k": w_s1_s2d(p["conv_img"]["conv"]["kernel"]),
+                          "b": _tile4(p["conv_img"]["conv"]["bias"])}
+        return tp
+
+    return build(params)
+
+
+def trunk_apply_fast(tp: dict, label: jax.Array, cond_maps, cond0_p,
+                     cdt, gen_cfg) -> jax.Array:
+    """Pure-function Generator trunk (generator.py:104-129,181-234
+    order; renderer.py:Generator semantics) with the full-res stages in
+    the parity layout.  ``cond_maps``: standard-layout embedder levels;
+    ``cond0_p``: the packed level-0 map (from ``embed_apply_fast``'s
+    internal packing).  Returns the tanh image, full-res standard."""
+    n_down = gen_cfg.num_downsamples
+    n_res = int(-(-(gen_cfg.num_layers - n_down) // 2) * 2)
+    n_embed = gen_cfg.embed.num_downsamples
+
+    x = _conv(space_to_depth(label.astype(cdt)), tp["down_first"]["k"],
+              tp["down_first"]["b"])
+    x = _spade_block_p4(x, cond0_p, tp["down_0"])
+    x = avg_pool_s2d(x)
+    for i in range(1, n_down + 1):
+        j = min(n_embed, i)
+        x = _spade_block_std(x, cond_maps[j].astype(cdt), tp[f"down_{i}"])
+        if i != n_down:
+            x = avg_pool_3x3s2(x)
+
+    j = min(n_embed, n_down + 1)
+    for i in range(n_res):
+        x = _spade_block_std(x, cond_maps[j].astype(cdt), tp[f"res_{i}"])
+
+    for i in range(n_down, 0, -1):
+        j = min(n_embed, i)
+        x = _spade_block_std(x, cond_maps[j].astype(cdt), tp[f"up_{i}"])
+        if i != 1:
+            x = upsample2x(x)
+
+    # packed full-res input to up_0: s2d(up2x(y)) == channel-tile of y
+    # (nearest-up duplicates each pixel into all four parities)
+    x = jnp.tile(x, (1, 1, 1, 4))
+    x = _spade_block_p4(x, cond0_p, tp["up_0"])
+    img = _conv(leaky(x), tp["conv_img"]["k"], tp["conv_img"]["b"])
+    return jnp.tanh(depth_to_space(img))
 
 
 def use_fastpath() -> bool:
@@ -341,32 +534,30 @@ def use_fastpath() -> bool:
 
 class FastInferenceGen:
     """Duck-typed ``Generator`` for the inference rollouts
-    (train/gan.py:make_rollout / make_segment_rollout): flax trunk with
-    ``with_mask=False``, parity-layout mask net on the transformed
-    params injected by :func:`fold_fast_params` under ``__fast__``.
+    (train/gan.py:make_rollout / make_segment_rollout): pure-function
+    embedder + SPADE trunk + mask net with the full-resolution stages in
+    the parity layout, on the transformed params injected by
+    :func:`fold_fast_params` under ``__fast__``.
 
     Same function as the standard generator on the same folded params
-    (tests/test_fastpath.py::test_fast_gen_matches_flax).
+    (tests/test_fastpath.py::test_fast_gen_matches_flax_rollout).
     """
 
     def __init__(self, gen):
-        from .renderer import Generator
         self.cfg = gen.cfg
         self.dtype = gen.dtype
-        self.trunk = Generator(gen.cfg, gen.dtype, with_mask=False)
 
     def apply(self, variables, label, label_prev, img_warped, img_prev,
               update_stats: bool = False):
         params = variables["params"]
-        cond = embed_apply_fast(
-            params["__fast__"]["embed"],
+        fast = params["__fast__"]
+        cond, cond0_p = embed_apply_fast(
+            fast["embed"],
             jnp.concatenate([img_warped, img_prev], axis=-1),
-            self.dtype, self.cfg.embed.num_downsamples)
-        img, _ = self.trunk.apply(
-            {"params": params,
-             "batch_stats": variables.get("batch_stats", {})},
-            label, label_prev, img_warped, img_prev,
-            update_stats=False, cond_maps=cond)
+            self.dtype, self.cfg.embed.num_downsamples,
+            return_packed0=True)
+        img = trunk_apply_fast(fast["trunk"], label, cond, cond0_p,
+                               self.dtype, self.cfg)
         imgs = jnp.concatenate(
             [img_prev.astype(self.dtype), img_warped.astype(self.dtype),
              img.astype(self.dtype)], axis=-1)
@@ -390,5 +581,6 @@ def fold_fast_params(folded_params: dict, gen_cfg) -> dict:
                                       m.num_res_blocks),
         "embed": transform_embed_params(folded_params["ref_embed"],
                                         gen_cfg.embed.num_downsamples),
+        "trunk": transform_trunk_params(folded_params, gen_cfg),
     }
     return out

@@ -101,6 +101,37 @@ def test_embed_fast_matches_flax():
                                    atol=2e-5)
 
 
+def test_trunk_fast_matches_flax():
+    from renderloom.models.fastpath import (embed_apply_fast,
+                                            transform_embed_params,
+                                            transform_trunk_params,
+                                            trunk_apply_fast)
+    from renderloom.models.renderer import Generator
+    cfg = _mask_cfg()
+    cfg = dataclasses.replace(
+        cfg, weight_norm_type="none", do_checkpoint=False,
+        embed=dataclasses.replace(cfg.embed, weight_norm_type="none"))
+    gen = Generator(cfg, jnp.float32)
+    rng = np.random.default_rng(8)
+    B, H, W = 2, 32, 48
+    label = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 22)), jnp.float32)
+    warped = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 3)), jnp.float32)
+    prev = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 3)), jnp.float32)
+    variables = gen.init(jax.random.PRNGKey(1), label, label, warped,
+                         prev)
+    ref_img, _ = gen.apply(variables, label, label, warped, prev)
+    p = variables["params"]
+    etp = transform_embed_params(p["ref_embed"],
+                                 cfg.embed.num_downsamples)
+    ttp = transform_trunk_params(p, cfg)
+    cond, cond0_p = embed_apply_fast(
+        etp, jnp.concatenate([warped, prev], axis=-1), jnp.float32,
+        cfg.embed.num_downsamples, return_packed0=True)
+    got = trunk_apply_fast(ttp, label, cond, cond0_p, jnp.float32, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_img),
+                               atol=3e-5)
+
+
 def test_fast_gen_matches_flax_rollout(monkeypatch):
     """FastInferenceGen through the segment rollout == standard path."""
     from renderloom.core.config import (EmbedConfig, MaskNetConfig,
