@@ -190,7 +190,9 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
                                     "dain": backs[None] * 255.0,
                                     "poses": poses[None]},
                              rcfg.data, train=False,
-                             fused_raster=fused_raster)
+                             fused_raster=fused_raster,
+                             label_dtype=jnp.bfloat16 if on_tpu
+                             else None)
         return {"label": prep["label"], "back": prep["back"],
                 "key_img": prep["image"], "is_key": is_key}
 

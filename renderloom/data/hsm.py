@@ -234,7 +234,7 @@ def prepare_window(key: Optional[jax.Array], images: jax.Array,
 
 def prepare_batch(key: Optional[jax.Array], batch: Dict[str, jax.Array],
                   cfg: RendererDataConfig, train: bool = True,
-                  fused_raster: bool = False):
+                  fused_raster: bool = False, label_dtype=None):
     """Batched window preparation.
 
     ``fused_raster=False``: straight vmap of :func:`prepare_window`.
@@ -242,17 +242,25 @@ def prepare_batch(key: Optional[jax.Array], batch: Dict[str, jax.Array],
     but all B×F frames are rasterized in ONE call to the fused Pallas
     kernel (``renderloom.ops.rasterize_pallas``) — the TPU-preferred
     path (one kernel launch, outputs written once).
+    ``label_dtype``: emit the 22ch label stream in this dtype (bf16 on
+    TPU halves the pipeline's dominant write; the fused kernel casts at
+    the store).  Default keeps float32 (training parity).
     """
     B = batch["images"].shape[0]
     if not fused_raster:
         if key is not None:
             keys = jax.random.split(key, B)
-            return jax.vmap(lambda k, i, d, p: prepare_window(
+            out = jax.vmap(lambda k, i, d, p: prepare_window(
                 k, i, d, p, cfg, train))(keys, batch["images"],
                                          batch["dain"], batch["poses"])
-        return jax.vmap(lambda i, d, p: prepare_window(
-            None, i, d, p, cfg, train))(batch["images"], batch["dain"],
-                                        batch["poses"])
+        else:
+            out = jax.vmap(lambda i, d, p: prepare_window(
+                None, i, d, p, cfg, train))(batch["images"],
+                                            batch["dain"],
+                                            batch["poses"])
+        if label_dtype is not None:
+            out = dict(out, label=out["label"].astype(label_dtype))
+        return out
 
     from renderloom.ops.rasterize_pallas import rasterize_frames_fused
 
@@ -296,7 +304,8 @@ def prepare_batch(key: Optional[jax.Array], batch: Dict[str, jax.Array],
         H, W, gauss_sigma=cfg.gauss_sigma,
         random_drop_prob=cfg.random_drop_prob,
         random_blur_rate=cfg.random_blur_rate, thres=cfg.skeleton_thres,
-        foot_thres=cfg.foot_thres, train=train and key is not None)
+        foot_thres=cfg.foot_thres, train=train and key is not None,
+        out_dtype=label_dtype or jnp.float32)
 
     skel = jnp.transpose(ras["skeleton"], (0, 2, 3, 1)) * 2.0 - 1.0
     heat = jnp.transpose(ras["heatmaps"], (0, 2, 3, 1))

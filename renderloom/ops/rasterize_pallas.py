@@ -102,13 +102,14 @@ def _kernel(joints_ref, skel_ref, caps_ref, heat_ref, skimg_ref,
                                   ).astype(jnp.float32)
 
     # ---- heatmaps: one channel per joint --------------------------------
-    for j in range(J):
+    odt = heat_ref.dtype                     # label stream dtype (f32 or
+    for j in range(J):                       # bf16: halves the write)
         x = joints_ref[0, j, 0]
         y = joints_ref[0, j, 1]
         inv2s2 = joints_ref[0, j, 2]
         valid = joints_ref[0, j, 3]
         d2 = (xs - x) ** 2 + (ys - y) ** 2
-        heat_ref[0, j] = jnp.exp(-d2 * inv2s2) * valid
+        heat_ref[0, j] = (jnp.exp(-d2 * inv2s2) * valid).astype(odt)
 
     def seg_dist(ax, ay, bx, by):
         dx, dy = bx - ax, by - ay
@@ -136,9 +137,9 @@ def _kernel(joints_ref, skel_ref, caps_ref, heat_ref, skimg_ref,
         bacc = bacc + cover * skel_ref[0, e, 7]
         cnt = cnt + cover
     denom = jnp.maximum(cnt, 1.0)
-    skimg_ref[0, 0] = racc / denom
-    skimg_ref[0, 1] = gacc / denom
-    skimg_ref[0, 2] = bacc / denom
+    skimg_ref[0, 0] = (racc / denom).astype(odt)
+    skimg_ref[0, 1] = (gacc / denom).astype(odt)
+    skimg_ref[0, 2] = (bacc / denom).astype(odt)
 
     # ---- human masks: union of capsules ---------------------------------
     macc, pacc = zeros, zeros
@@ -164,11 +165,13 @@ def rasterize_frames_fused(key: Optional[jax.Array], coords: jax.Array,
                            thres: float = 0.001,
                            foot_thres: float = 0.001,
                            train: bool = True, tile_h: int = 64,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           out_dtype=jnp.float32):
     """Pallas-fused equivalent of :func:`rasterize.rasterize_frames`.
 
     coords (F, J, 2), conf (F, J) → dict of
-    heatmaps (F,19,H,W) f32, skeleton (F,3,H,W) f32,
+    heatmaps (F,19,H,W), skeleton (F,3,H,W) in ``out_dtype`` (bf16
+    halves the dominant label-stream write on TPU),
     mask/part_mask (F,H,W) f32 (0/1).
     """
     F = coords.shape[0]
@@ -217,8 +220,8 @@ def rasterize_frames_fused(key: Optional[jax.Array], coords: jax.Array,
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((F, J, height, width), jnp.float32),
-        jax.ShapeDtypeStruct((F, 3, height, width), jnp.float32),
+        jax.ShapeDtypeStruct((F, J, height, width), out_dtype),
+        jax.ShapeDtypeStruct((F, 3, height, width), out_dtype),
         jax.ShapeDtypeStruct((F, height, width), jnp.float32),
         jax.ShapeDtypeStruct((F, height, width), jnp.float32),
     ]

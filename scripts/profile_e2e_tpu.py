@@ -106,7 +106,9 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
                                     "dain": backs[None] * 255.0,
                                     "poses": poses[None]},
                              rcfg.data, train=False,
-                             fused_raster=fused_raster)
+                             fused_raster=fused_raster,
+                             label_dtype=jnp.bfloat16 if on_tpu
+                             else None)
         batch = {"label": prep["label"], "back": prep["back"],
                  "key_img": prep["image"], "is_key": is_key}
         return batch, jnp.sum(prep["label"]) * 1e-20
@@ -134,7 +136,9 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
                                     "dain": backs[None] * 255.0,
                                     "poses": poses[None]},
                              rcfg.data, train=False,
-                             fused_raster=fused_raster)
+                             fused_raster=fused_raster,
+                             label_dtype=jnp.bfloat16 if on_tpu
+                             else None)
         b = {"label": prep["label"], "back": prep["back"],
              "key_img": prep["image"], "is_key": is_key}
         fused, _ = rollout(g_params, {}, b)

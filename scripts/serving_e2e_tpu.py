@@ -89,14 +89,15 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
                                     "dain": backs * 255.0,
                                     "poses": poses},
                              rcfg.data, train=False,
-                             fused_raster=fused_raster)
+                             fused_raster=fused_raster,
+                             label_dtype=jnp.bfloat16 if on_tpu
+                             else None)
         # the 22ch label is the biggest live tensor (1.56 GB fp32 at 4
-        # clips): stream it bf16 — the generator's first conv casts to
-        # bf16 anyway, and fp32 labels pushed the 4-clip program over
-        # HBM (15.87/15.75 GB) and the 2-clip one into XLA remat
-        ldt = jnp.bfloat16 if jax.default_backend() == "tpu" \
-            else jnp.float32
-        b = {"label": prep["label"].astype(ldt), "back": prep["back"],
+        # clips): the raster kernel now EMITS it bf16 (label_dtype
+        # above) — the generator's first conv casts to bf16 anyway, and
+        # fp32 labels pushed the 4-clip program over HBM (15.87/15.75
+        # GB) and the 2-clip one into XLA remat
+        b = {"label": prep["label"], "back": prep["back"],
              "key_img": prep["image"], "is_key": is_key}
         fused, _ = rollout(g_params, {}, b)
         return fused, jnp.sum(fused) * 1e-20

@@ -56,3 +56,24 @@ def test_fused_train_path_reproducible():
                                np.asarray(ref["heatmaps"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(a["skeleton"]),
                                np.asarray(ref["skeleton"]), atol=1e-5)
+
+
+def test_fused_bf16_labels():
+    """out_dtype=bfloat16 emits the label stream at half the bytes with
+    values equal to the f32 path up to bf16 rounding."""
+    import jax.numpy as jnp
+    coords, conf = _random_frames(2, seed=4)
+    f32 = rasterize_frames_fused(None, coords, conf, H, W, train=False,
+                                 tile_h=32, interpret=True)
+    b16 = rasterize_frames_fused(None, coords, conf, H, W, train=False,
+                                 tile_h=32, interpret=True,
+                                 out_dtype=jnp.bfloat16)
+    assert b16["heatmaps"].dtype == jnp.bfloat16
+    assert b16["skeleton"].dtype == jnp.bfloat16
+    assert b16["mask"].dtype == jnp.float32        # loss masks stay f32
+    np.testing.assert_allclose(
+        np.asarray(b16["heatmaps"], np.float32),
+        np.asarray(f32["heatmaps"]), atol=8e-3)
+    np.testing.assert_allclose(
+        np.asarray(b16["skeleton"], np.float32),
+        np.asarray(f32["skeleton"]), atol=8e-3)
