@@ -131,9 +131,12 @@ def gaussian_heatmaps(coords: jax.Array, conf: jax.Array, height: int,
 # ---------------------------------------------------------------------------
 
 
-def _segment_distance(px: jax.Array, py: jax.Array, a: jax.Array,
-                      b: jax.Array) -> jax.Array:
-    """Distance from each grid pixel to segments a→b.
+def _segment_dist2(px: jax.Array, py: jax.Array, a: jax.Array,
+                   b: jax.Array) -> jax.Array:
+    """SQUARED distance from each grid pixel to segments a→b — every
+    consumer compares against a non-negative radius, so d ≤ r is tested
+    as d² ≤ r² (saves a VPU sqrt per capsule per pixel; the TPU raster
+    kernel does the same).
 
     a, b: (E, 2).  Returns (E, H, W).
     """
@@ -145,7 +148,7 @@ def _segment_distance(px: jax.Array, py: jax.Array, a: jax.Array,
     t = jnp.clip(t, 0.0, 1.0)
     cx = ax + t * dx
     cy = ay + t * dy
-    return jnp.sqrt((px - cx) ** 2 + (py - cy) ** 2)
+    return (px - cx) ** 2 + (py - cy) ** 2
 
 
 def skeleton_image(coords: jax.Array, conf: jax.Array, height: int,
@@ -173,13 +176,14 @@ def skeleton_image(coords: jax.Array, conf: jax.Array, height: int,
         edge_ok = edge_ok & keep_edges
 
     ys, xs = _grid(height, width)
-    d_seg = _segment_distance(xs, ys, a, b)               # (E, H, W)
-    d_end_a = jnp.sqrt((xs - a[:, 0, None, None]) ** 2
-                       + (ys - a[:, 1, None, None]) ** 2)
-    d_end_b = jnp.sqrt((xs - b[:, 0, None, None]) ** 2
-                       + (ys - b[:, 1, None, None]) ** 2)
-    cover = ((d_seg <= brush)
-             | (d_end_a <= 2 * brush) | (d_end_b <= 2 * brush))
+    d2_seg = _segment_dist2(xs, ys, a, b)                 # (E, H, W)
+    d2_end_a = ((xs - a[:, 0, None, None]) ** 2
+                + (ys - a[:, 1, None, None]) ** 2)
+    d2_end_b = ((xs - b[:, 0, None, None]) ** 2
+                + (ys - b[:, 1, None, None]) ** 2)
+    cover = ((d2_seg <= brush * brush)
+             | (d2_end_a <= (2 * brush) ** 2)
+             | (d2_end_b <= (2 * brush) ** 2))
     cover = cover & edge_ok[:, None, None]
     cover_f = cover.astype(jnp.float32)
 
@@ -209,9 +213,10 @@ def human_masks(coords: jax.Array, conf: jax.Array, height: int,
     ys, xs = _grid(height, width)
 
     # joint disks
-    d_joint = jnp.sqrt((xs - xi[:, None, None]) ** 2
-                       + (ys - yi[:, None, None]) ** 2)
-    disk = (d_joint <= jnp.asarray(MASK_JOINT_RADII)[:, None, None])
+    d2_joint = ((xs - xi[:, None, None]) ** 2
+                + (ys - yi[:, None, None]) ** 2)
+    radii_j = jnp.asarray(MASK_JOINT_RADII)[:, None, None]
+    disk = (d2_joint <= radii_j * radii_j)
     disk = disk & valid[:, None, None]
     mask = jnp.any(disk, axis=0)
 
@@ -221,8 +226,9 @@ def human_masks(coords: jax.Array, conf: jax.Array, height: int,
     a = safe[edges[:, 0]]
     b = safe[edges[:, 1]]
     edge_ok = valid[edges[:, 0]] & valid[edges[:, 1]]
-    d_seg = _segment_distance(xs, ys, a, b)
-    capsule = (d_seg <= radii[:, None, None]) & edge_ok[:, None, None]
+    d2_seg = _segment_dist2(xs, ys, a, b)
+    r2 = (radii * radii)[:, None, None]
+    capsule = (d2_seg <= r2) & edge_ok[:, None, None]
     mask = mask | jnp.any(capsule, axis=0)
 
     if part_keep is None:
