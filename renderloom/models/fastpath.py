@@ -126,19 +126,18 @@ def instance_norm_p4(x: jax.Array, scale: Optional[jax.Array] = None,
     are already parity-tiled (4C,)."""
     B, _, _, C4 = x.shape
     C = C4 // 4
-    x32 = x.astype(jnp.float32)
-    m1 = jnp.mean(x32, axis=(1, 2)).reshape(B, 4, C).mean(axis=1)
-    m2 = jnp.mean(jnp.square(x32), axis=(1, 2)).reshape(B, 4, C) \
-        .mean(axis=1)
+    m1 = jnp.mean(x, axis=(1, 2), dtype=jnp.float32) \
+        .reshape(B, 4, C).mean(axis=1)
+    m2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=(1, 2)) \
+        .reshape(B, 4, C).mean(axis=1)
     var = jnp.maximum(m2 - jnp.square(m1), 0.0)
-    m1 = jnp.tile(m1, (1, 4))[:, None, None, :]
-    rs = jnp.tile(jax.lax.rsqrt(var + eps), (1, 4))[:, None, None, :]
-    out = ((x32 - m1) * rs).astype(x.dtype)
+    a = jnp.tile(jax.lax.rsqrt(var + eps), (1, 4))[:, None, None, :]
     if scale is not None:
-        out = out * scale
+        a = a * scale
+    b = -jnp.tile(m1, (1, 4))[:, None, None, :] * a
     if bias is not None:
-        out = out + bias
-    return out
+        b = b + bias
+    return (x.astype(jnp.float32) * a + b).astype(x.dtype)
 
 
 def _conv(x, k, b=None, padding="SAME"):
@@ -207,14 +206,17 @@ def transform_mask_params(mask_params: dict, num_downsamples: int = 3,
 
 
 def _in_std(x, ns, nb, eps=1e-5):
-    x32 = x.astype(jnp.float32)
-    m1 = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    m2 = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+    m1 = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    m2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=(1, 2),
+                  keepdims=True)
     var = jnp.maximum(m2 - jnp.square(m1), 0.0)
-    out = ((x32 - m1) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    a = jax.lax.rsqrt(var + eps)
     if ns is not None:
-        out = out * ns + nb
-    return out
+        a = a * ns
+    b = -m1 * a
+    if nb is not None:
+        b = b + nb
+    return (x.astype(jnp.float32) * a + b).astype(x.dtype)
 
 
 def use_pallas_norm() -> bool:
