@@ -253,6 +253,7 @@ def mask_apply_fast(tp: dict, label: jax.Array, imgs: jax.Array,
     ``MaskGenerator.apply`` on the original (folded) params to float
     tolerance.  ``label`` (B,H,W,22), ``imgs`` (B,H,W,9); H, W must be
     divisible by 2^num_downsamples."""
+    assert num_downsamples >= 1, "packed head needs >= 1 downsample"
 
     def enc(x, pre):
         p = tp[f"{pre}_in"]
