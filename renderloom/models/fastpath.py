@@ -1,4 +1,5 @@
-"""Parity-layout (space-to-depth) inference fast path for the mask net.
+"""Parity-layout (space-to-depth) inference fast path for the full
+generator: label embedder + SPADE trunk + blend-mask net.
 
 The rollout bisect (scripts/rollout_bisect_tpu.py, BASELINE.md round 3)
 shows the MaskGenerator is half the generator call (26.5 / 52.7 ms at
@@ -27,9 +28,10 @@ same (spectral-norm-folded) parameters, verified to float tolerance in
   are the equal-count average of the four parity moments (the parity
   grids tile the image), so stats stay exact.
 
-Reference workload anchor: the blend-mask net of
-Pose_Guided_Neural_Rendering/models/generator.py:415-510; this file is
-a TPU execution strategy for it, not a new architecture.
+Reference workload anchor: the vid2vid-style generator of
+Pose_Guided_Neural_Rendering/models/generator.py:35-510 (embedder
+306-410, trunk 104-234, mask net 415-510); this file is a TPU execution
+strategy for it, not a new architecture.
 """
 
 from __future__ import annotations
@@ -573,9 +575,9 @@ class FastInferenceGen:
 
 
 def fold_fast_params(folded_params: dict, gen_cfg) -> dict:
-    """Attach the parity-layout mask + embedder kernels to a
-    spectral-norm-folded param tree (under ``__fast__``, ignored by the
-    flax trunk).  Pair with :class:`FastInferenceGen`."""
+    """Attach the parity-layout mask + embedder + trunk kernels to a
+    spectral-norm-folded param tree under ``__fast__``.  Pair with
+    :class:`FastInferenceGen`."""
     m = gen_cfg.mask
     out = dict(folded_params)
     out["__fast__"] = {

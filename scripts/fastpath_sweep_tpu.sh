@@ -8,3 +8,4 @@ timeout 1200 python scripts/norm_micro_tpu.py
 RENDERLOOM_PALLAS_NORM=0 timeout 1200 python scripts/fastgen_tpu.py
 timeout 1200 python scripts/fastgen_tpu.py
 timeout 1800 env BENCH_METRIC=e2e python bench.py
+timeout 1800 env BENCH_METRIC=gan_train python bench.py
