@@ -4,6 +4,7 @@
 # poison each other's timings — CLAUDE.md).
 set -x
 cd "$(dirname "$0")/.." || exit 1
+timeout 1200 python scripts/parity_conv_micro_tpu.py
 timeout 1200 python scripts/norm_micro_tpu.py
 RENDERLOOM_PALLAS_NORM=0 timeout 1200 python scripts/fastgen_tpu.py
 timeout 1200 python scripts/fastgen_tpu.py
