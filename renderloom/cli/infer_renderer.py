@@ -41,7 +41,8 @@ def load_flow_interp(flow_ckpt: str, flow_config: str = None,
     model, _, state = create_flow_state(jax.random.PRNGKey(0), cfg,
                                         height, width)
     state = ckpt.restore_checkpoint(flow_ckpt, target=state)
-    return make_learned_interp(model, state.params)
+    return make_learned_interp(model, state.params,
+                               max_disp=cfg.max_disp)
 
 
 def synthesize_backgrounds(input_dir: str, dain_dir: str, rate: int,

@@ -340,6 +340,12 @@ class FlowConfig:
     nr_epochs: int = 50
     batch_size: int = 8
     compute_dtype: str = "float32"
+    # Per-axis displacement bound (full-res px) of the fast separable
+    # inference warp (ops/flow.py:backward_warp_shift; cost linear in
+    # it).  Raise for content moving >16 px between keyframes — e.g.
+    # ~rate·|motion per frame|.  Training always uses the unbounded
+    # gather warp, so this only gates inference.
+    max_disp: int = 16
 
 
 def load_flow_config(path: str) -> "FlowConfig":

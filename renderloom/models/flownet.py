@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from renderloom.ops.flow import backward_warp_shift
+from renderloom.ops.flow import backward_warp, backward_warp_shift
 
 
 def _leaky(x):
@@ -83,21 +83,34 @@ class FlowUNet(nn.Module):
 
 
 def time_warp(img0: jax.Array, img1: jax.Array, f01: jax.Array,
-              f10: jax.Array, t: jax.Array) -> jax.Array:
+              f10: jax.Array, t: jax.Array, max_disp: int = 16,
+              exact: bool = False) -> jax.Array:
     """Super-SloMo intermediate-time warp: approximate the flows from
     the unknown frame at ``t`` to each keyframe as linear combinations
     of the keyframe-to-keyframe flows, backward-warp both keyframes,
     and blend by time weight × photometric agreement (same blending rule
-    as the LK backend, ``ops/flow.py:interpolate_pair``)."""
+    as the LK backend, ``ops/flow.py:interpolate_pair``).
+
+    ``max_disp`` bounds the per-axis displacement of the fast separable
+    warp (cost linear in it) — content moving more than that between
+    keyframes needs a larger bound (plumbed from ``FlowConfig.max_disp``
+    at the pipeline call sites).  ``exact=True`` uses the unbounded
+    bilinear gather warp instead — the training loss uses it so the
+    photometric gradient is never zero-clipped past the bound (the
+    reference's DAIN stage warps via unbounded grid_sample)."""
     f_t0 = -(1.0 - t) * t * f01 + t * t * f10
     f_t1 = (1.0 - t) * (1.0 - t) * f01 - t * (1.0 - t) * f10
-    # learned flows come from a coarse decoder and are smooth, so the
-    # gather-free separable warp applies (~9× faster on TPU; quality
-    # re-validated by scripts/flow_quality_tpu.py after the switch)
-    w0 = backward_warp_shift(img0, f_t0)
-    w1 = backward_warp_shift(img1, f_t1)
-    c1 = backward_warp_shift(img1, f01)  # img1 pulled onto img0's grid
-    c0 = backward_warp_shift(img0, f10)
+    if exact:
+        warp = backward_warp
+    else:
+        # learned flows come from a coarse decoder and are smooth, so
+        # the gather-free separable warp applies (~9× faster on TPU;
+        # quality re-validated by scripts/flow_quality_tpu.py)
+        warp = lambda im, f: backward_warp_shift(im, f, max_disp)
+    w0 = warp(img0, f_t0)
+    w1 = warp(img1, f_t1)
+    c1 = warp(img1, f01)                 # img1 pulled onto img0's grid
+    c0 = warp(img0, f10)
     e0 = jnp.mean(jnp.abs(c1 - img0), axis=-1, keepdims=True)
     e1 = jnp.mean(jnp.abs(c0 - img1), axis=-1, keepdims=True)
     a0 = (1.0 - t) / (1.0 + e0)
@@ -105,14 +118,16 @@ def time_warp(img0: jax.Array, img1: jax.Array, f01: jax.Array,
     return (a0 * w0 + a1 * w1) / (a0 + a1)
 
 
-def make_learned_interp(model: FlowUNet, params):
+def make_learned_interp(model: FlowUNet, params, max_disp: int = 16):
     """Bind (model, params) into the ``interp_fn(img0, img1, t)``
     contract used by ``ops.flow.frame_double_pairs`` /
-    ``upsample_background`` — a learned drop-in for the LK backend."""
+    ``upsample_background`` — a learned drop-in for the LK backend.
+    ``max_disp`` bounds the fast warp's per-axis displacement (set from
+    ``FlowConfig.max_disp`` for content moving >16 px between keys)."""
 
     def interp_fn(img0: jax.Array, img1: jax.Array, t) -> jax.Array:
         f01, f10 = model.apply({"params": params}, img0[None], img1[None])
         return time_warp(img0, img1, f01[0], f10[0],
-                         jnp.asarray(t, jnp.float32))
+                         jnp.asarray(t, jnp.float32), max_disp=max_disp)
 
     return interp_fn

@@ -272,9 +272,12 @@ def upsample_background(frames: jax.Array, rate: int, levels: int = 4,
         # forward-backward consistency (interpolate_pair's blend
         # weights) at FLOW resolution: the weights are smooth, so
         # computing them where the flow lives and upsampling replaces
-        # 2(K-1) full-res warps with quarter-res ones
+        # 2(K-1) full-res warps with quarter-res ones.  flows_s is in
+        # low-res pixel units, so the bound scales by 1/flow_scale to
+        # match the full-res synthesis warps' effective max_disp.
+        disp_s = max(1, -(-max_disp // flow_scale))
         c_s = jax.vmap(
-            lambda x, f: backward_warp_shift(x, f, max_disp))(b_s, flows_s)
+            lambda x, f: backward_warp_shift(x, f, disp_s))(b_s, flows_s)
         e_s = jnp.mean(jnp.abs(c_s - a_s), axis=-1, keepdims=True)
         errs = jax.image.resize(e_s, (e_s.shape[0], H, W, 1), "bilinear")
         e0, e1 = errs[:K - 1], errs[K - 1:]

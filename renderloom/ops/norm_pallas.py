@@ -70,10 +70,13 @@ def _kernel(x_ref, s_ref, b_ref, out_ref, acc_ref, *, n_px: int,
         out_ref[0] = y.astype(out_ref.dtype)
 
 
-def _pick_tile(n: int, cap: int = 4096) -> int:
-    """Largest sublane-aligned (×8) tile dividing n, or 0 if none."""
-    start = min(cap, n) // 8 * 8
-    for t in range(start, 0, -8):
+def _pick_tile(n: int, align: int, cap: int = 4096) -> int:
+    """Largest sublane-aligned tile dividing n, or 0 if none.  ``align``
+    is the dtype's sublane multiple: 8 for 4-byte, 16 for 2-byte dtypes
+    (Mosaic packs two bf16 rows per 32-bit sublane — an ×8-but-not-×16
+    bf16 tile can fail to compile)."""
+    start = min(cap, n) // align * align
+    for t in range(start, 0, -align):
         if n % t == 0:
             return t
     return 0
@@ -96,7 +99,8 @@ def instance_norm_fused(x: jax.Array, scale: Optional[jax.Array] = None,
     """
     B, H, W, C = x.shape
     n_px = H * W
-    tile = _pick_tile(n_px)
+    align = 16 if jnp.dtype(x.dtype).itemsize == 2 else 8
+    tile = _pick_tile(n_px, align)
     if tile == 0:
         raise ValueError(f"no tile for H*W={n_px}")
     interpret = interpret or jax.default_backend() != "tpu"

@@ -27,7 +27,7 @@ from flax import struct
 
 from renderloom.core.config import FlowConfig
 from renderloom.models.flownet import FlowUNet, time_warp
-from renderloom.ops.flow import backward_warp_shift
+from renderloom.ops.flow import backward_warp
 
 
 class FlowTrainState(struct.PyTreeNode):
@@ -73,14 +73,16 @@ def flow_loss(model: FlowUNet, params, triplet: jax.Array,
     """``triplet``: (B, 3, H, W, 3) float in [0, 1]."""
     f0, f_mid, f2 = triplet[:, 0], triplet[:, 1], triplet[:, 2]
     f01, f10 = model.apply({"params": params}, f0, f2)
-    pred = jax.vmap(time_warp, in_axes=(0, 0, 0, 0, None))(
-        f0, f2, f01, f10, jnp.asarray(0.5, jnp.float32))
+    # exact (unbounded) gather warps in the loss: the fast shift warp
+    # clips flow at max_disp, so beyond it the photometric gradient is
+    # zero and the net could never learn motion past the bound.  The
+    # deployed shift warp stays exact wherever |flow| <= the inference
+    # max_disp, so training with the gather warp costs no consistency.
+    pred = jax.vmap(time_warp, in_axes=(0, 0, 0, 0, None, None, None))(
+        f0, f2, f01, f10, jnp.asarray(0.5, jnp.float32), 0, True)
     l_rec = jnp.mean(jnp.abs(pred - f_mid))
-    # same warp the net is deployed with (models/flownet.py:time_warp
-    # uses the shift warp) — train/test consistency; gradients match
-    # the gather bilinear warp's piecewise-linear subgradient
-    warp1 = jax.vmap(backward_warp_shift)(f2, f01)
-    warp0 = jax.vmap(backward_warp_shift)(f0, f10)
+    warp1 = jax.vmap(backward_warp)(f2, f01)
+    warp0 = jax.vmap(backward_warp)(f0, f10)
     l_photo = 0.5 * (jnp.mean(jnp.abs(warp1 - f0))
                      + jnp.mean(jnp.abs(warp0 - f2)))
     l_smooth = 0.5 * (_smoothness(f01) + _smoothness(f10))
