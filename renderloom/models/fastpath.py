@@ -128,11 +128,13 @@ def instance_norm_p4(x: jax.Array, scale: Optional[jax.Array] = None,
     are already parity-tiled (4C,)."""
     B, _, _, C4 = x.shape
     C = C4 // 4
-    m1 = jnp.mean(x, axis=(1, 2), dtype=jnp.float32) \
+    xf = x.astype(jnp.float32)
+    m1 = jnp.mean(xf, axis=(1, 2)).reshape(B, 4, C).mean(axis=1)
+    m1t = jnp.tile(m1, (1, 4))[:, None, None, :]
+    # two-pass fp32 variance centered on the parity-averaged mean
+    # (same cancellation rationale as layers.instance_norm)
+    var = jnp.mean(jax.lax.square(xf - m1t), axis=(1, 2)) \
         .reshape(B, 4, C).mean(axis=1)
-    m2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=(1, 2)) \
-        .reshape(B, 4, C).mean(axis=1)
-    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
     a = jnp.tile(jax.lax.rsqrt(var + eps), (1, 4))[:, None, None, :]
     if scale is not None:
         a = a * scale
@@ -177,9 +179,13 @@ def transform_mask_params(mask_params: dict, num_downsamples: int = 3,
                                "nb": _tile4(cb["nb"])}
             for i in range(num_downsamples):
                 cb = _cb(mp[f"{pre}_down{i}"])
-                tp[f"{pre}_down{i}"] = {"k": w_s2_s2d(cb["k"]),
-                                        "b": cb["b"], "ns": cb["ns"],
-                                        "nb": cb["nb"]}
+                # all but the last down norm AFTER re-packing (see
+                # mask_apply_fast.enc) → parity-tiled norm params
+                last = i + 1 == num_downsamples
+                tp[f"{pre}_down{i}"] = {
+                    "k": w_s2_s2d(cb["k"]), "b": cb["b"],
+                    "ns": cb["ns"] if last else _tile4(cb["ns"]),
+                    "nb": cb["nb"] if last else _tile4(cb["nb"])}
         for i in range(num_res_blocks):
             rp = mp[f"res{i}"]
             r = {}
@@ -208,10 +214,11 @@ def transform_mask_params(mask_params: dict, num_downsamples: int = 3,
 
 
 def _in_std(x, ns, nb, eps=1e-5):
-    m1 = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
-    m2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=(1, 2),
-                  keepdims=True)
-    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+    # two-pass fp32 variance, same rationale as layers.instance_norm
+    # (one-pass E[x²]−E[x]² cancels catastrophically when |mean| ≫ std)
+    xf = x.astype(jnp.float32)
+    m1 = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jax.lax.square(xf - m1), axis=(1, 2), keepdims=True)
     a = jax.lax.rsqrt(var + eps)
     if ns is not None:
         a = a * ns
@@ -221,14 +228,37 @@ def _in_std(x, ns, nb, eps=1e-5):
     return (x.astype(jnp.float32) * a + b).astype(x.dtype)
 
 
+_PALLAS_NORM_OK: Optional[bool] = None
+
+
+def _pallas_norm_compiles() -> bool:
+    """Probe-compile the fused norm once (fp32 + bf16, real Mosaic
+    lowering on TPU).  A Pallas compile error surfaces when the OUTER
+    jit compiles — after _norm's trace-time try/except has returned —
+    so it would crash inference instead of falling back; this eager
+    probe catches it up front and disables the kernel globally."""
+    global _PALLAS_NORM_OK
+    if _PALLAS_NORM_OK is None:
+        try:
+            from renderloom.ops.norm_pallas import instance_norm_fused
+            for dt in (jnp.float32, jnp.bfloat16):
+                jax.block_until_ready(
+                    instance_norm_fused(jnp.ones((1, 16, 16, 8), dt)))
+            _PALLAS_NORM_OK = True
+        except Exception:                # Mosaic/XLA compiler errors
+            _PALLAS_NORM_OK = False
+    return _PALLAS_NORM_OK
+
+
 def use_pallas_norm() -> bool:
     """Fused Pallas instance norm on TPU (exact; inference only).
-    Override with RENDERLOOM_PALLAS_NORM=0/1."""
+    Override with RENDERLOOM_PALLAS_NORM=0/1 (an explicit 1 skips the
+    probe — measurement sweeps want the compile error loud)."""
     import os
     env = os.environ.get("RENDERLOOM_PALLAS_NORM")
     if env is not None:
         return env not in ("0", "false", "")
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and _pallas_norm_compiles()
 
 
 def _norm(h, ns, nb, parity=False, act=False):
@@ -264,11 +294,18 @@ def mask_apply_fast(tp: dict, label: jax.Array, imgs: jax.Array,
         for i in range(num_downsamples):
             p = tp[f"{pre}_down{i}"]
             # the in-conv's packed output IS s2d of its full-res tensor,
-            # so down0 consumes it directly; later downs re-pack
-            if i > 0:
-                h = space_to_depth(h)
+            # so down0 consumes it directly; each later down consumes
+            # the previous one's re-packed output
             h = _conv(h, p["k"], p["b"], padding=((1, 0), (1, 0)))
-            h = _norm(h, p["ns"], p["nb"], act=True)
+            if i + 1 < num_downsamples:
+                # pack BEFORE the norm: the next down conv wants the
+                # packed rep anyway, and the parity norm at 4C fills
+                # lanes a std norm at C < 128 leaves idle (exact — s2d
+                # permutes pixels; stats average over parity groups)
+                h = space_to_depth(h)
+                h = _norm(h, p["ns"], p["nb"], parity=True, act=True)
+            else:
+                h = _norm(h, p["ns"], p["nb"], act=True)
         return h
 
     h = jnp.concatenate([enc(label, "lbl"), enc(imgs, "img")], axis=-1)
@@ -318,23 +355,28 @@ def transform_embed_params(embed_params: dict,
 
 
 def embed_apply_fast(tp: dict, x: jax.Array, cdt=jnp.float32,
-                     num_downsamples: int = 4, return_packed0=False):
+                     num_downsamples: int = 4, return_packed=False):
     """Parity-layout LabelEmbedder forward — same level maps as
     ``LabelEmbedder.apply`` on the original params to float tolerance.
-    Returns ``num_downsamples + 1`` standard-layout maps (plus the
-    packed level-0 map for the packed trunk when ``return_packed0``)."""
+    Returns ``num_downsamples + 1`` standard-layout maps; with
+    ``return_packed`` also the parity-packed reps of levels
+    0..num_downsamples−1 (each stride-2 conv consumes the packed rep of
+    its input level anyway, so these are free — the packed trunk reuses
+    them as its SPADE conditions)."""
     hp = leaky(_conv(space_to_depth(x.astype(cdt)), tp["first"]["k"],
                      tp["first"]["b"]))
     levels = [depth_to_space(hp)]
-    h = hp                              # packed == s2d of level 0
+    packed = [hp]                       # packed == s2d of level 0
+    h = hp
     for i in range(num_downsamples):
         if i > 0:
             h = space_to_depth(h)
+            packed.append(h)
         p = tp[f"down_{i}"]
         h = leaky(_conv(h, p["k"], p["b"], padding=((1, 0), (1, 0))))
         levels.append(h)
-    if return_packed0:
-        return levels, hp
+    if return_packed:
+        return levels, packed
     return levels
 
 
@@ -457,29 +499,44 @@ def _sp_p4(p):
     return out
 
 
-def transform_trunk_params(params: dict, gen_cfg) -> dict:
-    """Folded Generator trunk params → fast-path kernels: the full-res
-    stages (down_first, down_0, up_0, conv_img — generator.py:104-129,
-    181-234 workload) in the parity layout, everything else flat
-    standard kernels.  Requires spade_kernel_size == 1 (the shipped
-    config, configs/HSM.yaml:48)."""
+def trunk_packed_levels() -> int:
+    """How many trunk pyramid levels run in the parity-packed layout:
+    level i covers blocks ``down_i``/``up_i`` (at 1/2^i resolution,
+    ``num_filters·2^i`` channels — 16/32/64/... with the shipped config,
+    so levels past 0 are still below the 128 TPU lanes).  Default 1 (the
+    round-3 measured configuration: full-res stages only); sweep deeper
+    packing on hardware with RENDERLOOM_PACKED_LEVELS=2/3
+    (scripts/fastgen_tpu.py).  Capped at num_downsamples — the
+    bottleneck res blocks always run standard."""
+    import os
+    return max(1, int(os.environ.get("RENDERLOOM_PACKED_LEVELS", "1")))
+
+
+def transform_trunk_params(params: dict, gen_cfg,
+                           packed_levels: Optional[int] = None) -> dict:
+    """Folded Generator trunk params → fast-path kernels: pyramid levels
+    below ``packed_levels`` (down_first, down_i/up_i, conv_img —
+    generator.py:104-129, 181-234 workload) in the parity layout,
+    everything else flat standard kernels.  Requires
+    spade_kernel_size == 1 (the shipped config, configs/HSM.yaml:48)."""
     assert gen_cfg.spade_kernel_size == 1, "packed SPADE needs k1 affine"
     n_down = gen_cfg.num_downsamples
     n_res = int(-(-(gen_cfg.num_layers - n_down) // 2) * 2)
+    if packed_levels is None:
+        packed_levels = trunk_packed_levels()
+    kL = max(1, min(packed_levels, n_down))
 
     @jax.jit
     def build(p):
         tp = {"down_first": {
             "k": w_s1_s2d(p["down_first"]["kernel"]),
             "b": _tile4(p["down_first"]["bias"])}}
-        tp["down_0"] = _sp_p4(p["down_0"])
-        for i in range(1, n_down + 1):
-            tp[f"down_{i}"] = _sp(p[f"down_{i}"])
+        for i in range(n_down + 1):
+            f = _sp_p4 if i < kL else _sp
+            tp[f"down_{i}"] = f(p[f"down_{i}"])
+            tp[f"up_{i}"] = f(p[f"up_{i}"])
         for i in range(n_res):
             tp[f"res_{i}"] = _sp(p[f"res_{i}"])
-        for i in range(1, n_down + 1):
-            tp[f"up_{i}"] = _sp(p[f"up_{i}"])
-        tp["up_0"] = _sp_p4(p["up_0"])
         tp["conv_img"] = {"k": w_s1_s2d(p["conv_img"]["conv"]["kernel"]),
                           "b": _tile4(p["conv_img"]["conv"]["bias"])}
         return tp
@@ -487,41 +544,61 @@ def transform_trunk_params(params: dict, gen_cfg) -> dict:
     return build(params)
 
 
-def trunk_apply_fast(tp: dict, label: jax.Array, cond_maps, cond0_p,
-                     cdt, gen_cfg) -> jax.Array:
+def trunk_apply_fast(tp: dict, label: jax.Array, cond_maps, cond_packed,
+                     cdt, gen_cfg,
+                     packed_levels: Optional[int] = None) -> jax.Array:
     """Pure-function Generator trunk (generator.py:104-129,181-234
-    order; renderer.py:Generator semantics) with the full-res stages in
-    the parity layout.  ``cond_maps``: standard-layout embedder levels;
-    ``cond0_p``: the packed level-0 map (from ``embed_apply_fast``'s
-    internal packing).  Returns the tanh image, full-res standard."""
+    order; renderer.py:Generator semantics) with pyramid levels below
+    ``packed_levels`` in the parity layout (must match the value
+    ``transform_trunk_params`` was built with).  ``cond_maps``:
+    standard-layout embedder levels; ``cond_packed``: their packed reps
+    for levels 0..num_downsamples−1 (``embed_apply_fast`` computes them
+    for free).  Returns the tanh image, full-res standard."""
     n_down = gen_cfg.num_downsamples
     n_res = int(-(-(gen_cfg.num_layers - n_down) // 2) * 2)
     n_embed = gen_cfg.embed.num_downsamples
+    if packed_levels is None:
+        packed_levels = trunk_packed_levels()
+    kL = max(1, min(packed_levels, n_down))
 
     x = _conv(space_to_depth(label.astype(cdt)), tp["down_first"]["k"],
               tp["down_first"]["b"])
-    x = _spade_block_p4(x, cond0_p, tp["down_0"])
-    x = avg_pool_s2d(x)
-    for i in range(1, n_down + 1):
+    for i in range(n_down + 1):
         j = min(n_embed, i)
-        x = _spade_block_std(x, cond_maps[j].astype(cdt), tp[f"down_{i}"])
-        if i != n_down:
-            x = avg_pool_3x3s2(x)
+        if i < kL:
+            x = _spade_block_p4(x, cond_packed[j].astype(cdt),
+                                tp[f"down_{i}"])
+            if i != n_down:
+                # packed→(packed|std) 3×3/s2 avg-pool at the packed res
+                pooled = avg_pool_s2d(x)
+                x = space_to_depth(pooled) if i + 1 < kL else pooled
+        else:
+            x = _spade_block_std(x, cond_maps[j].astype(cdt),
+                                 tp[f"down_{i}"])
+            if i != n_down:
+                x = avg_pool_3x3s2(x)
 
     j = min(n_embed, n_down + 1)
     for i in range(n_res):
         x = _spade_block_std(x, cond_maps[j].astype(cdt), tp[f"res_{i}"])
 
-    for i in range(n_down, 0, -1):
+    for i in range(n_down, -1, -1):
         j = min(n_embed, i)
-        x = _spade_block_std(x, cond_maps[j].astype(cdt), tp[f"up_{i}"])
-        if i != 1:
-            x = upsample2x(x)
+        if i < kL:
+            x = _spade_block_p4(x, cond_packed[j].astype(cdt),
+                                tp[f"up_{i}"])
+            if i != 0:
+                # packed level-(i−1) input to up_{i−1}: s2d(up2x(y)) ==
+                # channel-tile of y (nearest-up duplicates each pixel
+                # into all four parities)
+                x = jnp.tile(depth_to_space(x), (1, 1, 1, 4))
+        else:
+            x = _spade_block_std(x, cond_maps[j].astype(cdt),
+                                 tp[f"up_{i}"])
+            if i != 0:
+                x = jnp.tile(x, (1, 1, 1, 4)) if i - 1 < kL \
+                    else upsample2x(x)
 
-    # packed full-res input to up_0: s2d(up2x(y)) == channel-tile of y
-    # (nearest-up duplicates each pixel into all four parities)
-    x = jnp.tile(x, (1, 1, 1, 4))
-    x = _spade_block_p4(x, cond0_p, tp["up_0"])
     img = _conv(leaky(x), tp["conv_img"]["k"], tp["conv_img"]["b"])
     return jnp.tanh(depth_to_space(img))
 
@@ -556,12 +633,12 @@ class FastInferenceGen:
               update_stats: bool = False):
         params = variables["params"]
         fast = params["__fast__"]
-        cond, cond0_p = embed_apply_fast(
+        cond, cond_packed = embed_apply_fast(
             fast["embed"],
             jnp.concatenate([img_warped, img_prev], axis=-1),
             self.dtype, self.cfg.embed.num_downsamples,
-            return_packed0=True)
-        img = trunk_apply_fast(fast["trunk"], label, cond, cond0_p,
+            return_packed=True)
+        img = trunk_apply_fast(fast["trunk"], label, cond, cond_packed,
                                self.dtype, self.cfg)
         imgs = jnp.concatenate(
             [img_prev.astype(self.dtype), img_warped.astype(self.dtype),

@@ -101,7 +101,8 @@ def test_embed_fast_matches_flax():
                                    atol=2e-5)
 
 
-def test_trunk_fast_matches_flax():
+@pytest.mark.parametrize("packed_levels", [1, 2, 3, 4])
+def test_trunk_fast_matches_flax(packed_levels):
     from renderloom.models.fastpath import (embed_apply_fast,
                                             transform_embed_params,
                                             transform_trunk_params,
@@ -123,17 +124,21 @@ def test_trunk_fast_matches_flax():
     p = variables["params"]
     etp = transform_embed_params(p["ref_embed"],
                                  cfg.embed.num_downsamples)
-    ttp = transform_trunk_params(p, cfg)
-    cond, cond0_p = embed_apply_fast(
+    ttp = transform_trunk_params(p, cfg, packed_levels)
+    cond, cond_packed = embed_apply_fast(
         etp, jnp.concatenate([warped, prev], axis=-1), jnp.float32,
-        cfg.embed.num_downsamples, return_packed0=True)
-    got = trunk_apply_fast(ttp, label, cond, cond0_p, jnp.float32, cfg)
+        cfg.embed.num_downsamples, return_packed=True)
+    got = trunk_apply_fast(ttp, label, cond, cond_packed, jnp.float32,
+                           cfg, packed_levels)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref_img),
                                atol=3e-5)
 
 
-def test_fast_gen_matches_flax_rollout(monkeypatch):
-    """FastInferenceGen through the segment rollout == standard path."""
+@pytest.mark.parametrize("packed_levels", ["1", "2"])
+def test_fast_gen_matches_flax_rollout(monkeypatch, packed_levels):
+    """FastInferenceGen through the segment rollout == standard path
+    (at every RENDERLOOM_PACKED_LEVELS depth)."""
+    monkeypatch.setenv("RENDERLOOM_PACKED_LEVELS", packed_levels)
     from renderloom.core.config import (EmbedConfig, MaskNetConfig,
                                         RendererConfig)
     from renderloom.core.config import GeneratorConfig as GC
