@@ -1,7 +1,8 @@
 """Time the full parity-layout inference generator (embedder + trunk +
 mask fast paths) vs the standard flax generator at the rollout shapes
 (segment-batch 7, 320x480, bf16), and check agreement on the same
-folded params.
+folded params.  Sweeps RENDERLOOM_PACKED_LEVELS 1..3 (how many trunk
+pyramid levels run parity-packed — fastpath.trunk_packed_levels).
 
 RENDERLOOM_PALLAS_NORM=0/1 picks XLA vs fused-Pallas instance norms in
 the fast path.
@@ -57,21 +58,10 @@ def main(B: int = 7, reps: int = 20):
         return gen.apply({"params": p, "batch_stats": {}},
                          l, l, b_, pv, update_stats=False)
 
-    def run_fast(p, l, b_, pv):
-        return fgen.apply({"params": p, "batch_stats": {}},
-                          l, l, b_, pv, update_stats=False)
-
     jstd = jax.jit(run_std)
-    jfast = jax.jit(run_fast)
     i0, m0 = jstd(folded, label, back, prev)
-    i1, m1 = jfast(ffolded, label, back, prev)
     print(f"platform={jax.default_backend()}  B={B} {H}x{W} {dtype}  "
           f"pallas_norm={os.environ.get('RENDERLOOM_PALLAS_NORM', 'auto')}")
-    print(f"max|img std-fast|  = "
-          f"{float(jnp.abs(i0.astype(f32) - i1.astype(f32)).max()):.3e}")
-    print(f"max|mask std-fast| = "
-          f"{float(jnp.abs(m0.astype(f32) - m1.astype(f32)).max()):.3e}",
-          flush=True)
 
     def bench(jf, p):
         img, mask = jf(p, label, back, prev)
@@ -85,9 +75,24 @@ def main(B: int = 7, reps: int = 20):
         return (time.perf_counter() - tic) / reps * 1e3
 
     ms_std = bench(jstd, folded)
-    ms_fast = bench(jfast, ffolded)
-    print(f"standard gen {ms_std:8.2f} ms")
-    print(f"fast gen     {ms_fast:8.2f} ms   ({ms_std / ms_fast:.2f}x)")
+    print(f"standard gen         {ms_std:8.2f} ms", flush=True)
+
+    for pl in (1, 2, 3):
+        os.environ["RENDERLOOM_PACKED_LEVELS"] = str(pl)
+        ffolded = fold_fast_params(folded, rcfg.gen)
+
+        def run_fast(p, l, b_, pv, _pl=pl):  # fresh fn → fresh trace
+            return fgen.apply({"params": p, "batch_stats": {}},
+                              l, l, b_, pv, update_stats=False)
+
+        jfast = jax.jit(run_fast)
+        i1, m1 = jfast(ffolded, label, back, prev)
+        d_img = float(jnp.abs(i0.astype(f32) - i1.astype(f32)).max())
+        d_msk = float(jnp.abs(m0.astype(f32) - m1.astype(f32)).max())
+        ms_fast = bench(jfast, ffolded)
+        print(f"fast gen (packed={pl}) {ms_fast:8.2f} ms   "
+              f"({ms_std / ms_fast:.2f}x)  max|dimg|={d_img:.3e} "
+              f"max|dmask|={d_msk:.3e}", flush=True)
 
 
 if __name__ == "__main__":

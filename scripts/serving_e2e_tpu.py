@@ -103,13 +103,14 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
         return fused, jnp.sum(fused) * 1e-20
 
     rng = np.random.default_rng(0)
-    results = {}
+    results, raw_ms, inputs = {}, {}, {}
     for N in (1, 2, 4, 8):
         motion_b = jnp.asarray(
             rng.uniform(-0.4, 0.4, (N, 19, 2, K)), jnp.float32)
         conf_b = jnp.asarray(np.full((N, 19, 1, K), 0.9), jnp.float32)
         keys_b = jnp.asarray(
             rng.uniform(0, 1, (N, K, H, W, 3)), jnp.float32)
+        inputs[N] = (motion_b, conf_b, keys_b)
 
         def run(c):
             return serve(interp.params, folded_g, motion_b + c, conf_b,
@@ -125,11 +126,43 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
         ms = (time.perf_counter() - tic) / reps * 1e3
         fps = N * L / (ms / 1e3)
         results[N] = fps
+        raw_ms[N] = ms
         print(f"clips={N}: {ms:8.2f} ms/batch  ->  {fps:7.1f} frames/s",
               flush=True)
 
+    # --- auto-chunked serving: plan every request as a multiset of
+    # the profiled program sizes (renderloom/utils/serving.py) and
+    # EXECUTE the plan — monotone frames/s by construction, kills the
+    # N=2 remat valley (VERDICT r3 #7) ---
+    from renderloom.utils.serving import plan_chunks
+
+    auto = {}
+    for N in (1, 2, 3, 4, 6, 8):
+        plan = plan_chunks(N, raw_ms)
+
+        def run_plan(c):
+            for s in plan:
+                mb, cb, kb = inputs[s]
+                _, c = serve(interp.params, folded_g, mb + c, cb,
+                             kb + c)
+            return c
+
+        carry = run_plan(jnp.float32(0.0))
+        float(carry)
+        tic = time.perf_counter()
+        for _ in range(reps):
+            carry = run_plan(carry)
+        float(carry)
+        ms = (time.perf_counter() - tic) / reps * 1e3
+        fps = N * L / (ms / 1e3)
+        auto[N] = fps
+        print(f"auto clips={N} plan={plan}: {ms:8.2f} ms  ->  "
+              f"{fps:7.1f} frames/s", flush=True)
+
     print({"serving_fps": {str(k): round(v, 1)
-                           for k, v in results.items()}})
+                           for k, v in results.items()},
+           "serving_fps_auto": {str(k): round(v, 1)
+                                for k, v in auto.items()}})
 
 
 if __name__ == "__main__":
