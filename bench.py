@@ -179,6 +179,10 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
     keys_dev = jnp.asarray(keys_np)
     is_key = jnp.asarray(np.arange(L) % rate == 0)
     fused_raster = jax.default_backend() == "tpu"
+    # the fast path consumes parity-packed labels directly, so the fused
+    # rasterizer emits them packed — zero space-to-depth in the rollout
+    from renderloom.models.fastpath import use_fastpath
+    packed_label = fused_raster and use_fastpath()
 
     @jax.jit
     def prep_fn(pred, dense_conf, backs, keys):
@@ -192,7 +196,8 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
                              rcfg.data, train=False,
                              fused_raster=fused_raster,
                              label_dtype=jnp.bfloat16 if on_tpu
-                             else None)
+                             else None,
+                             packed_label=packed_label)
         return {"label": prep["label"], "back": prep["back"],
                 "key_img": prep["image"], "is_key": is_key}
 

@@ -234,17 +234,22 @@ def prepare_window(key: Optional[jax.Array], images: jax.Array,
 
 def prepare_batch(key: Optional[jax.Array], batch: Dict[str, jax.Array],
                   cfg: RendererDataConfig, train: bool = True,
-                  fused_raster: bool = False, label_dtype=None):
+                  fused_raster: bool = False, label_dtype=None,
+                  packed_label: bool = False):
     """Batched window preparation.
 
     ``fused_raster=False``: straight vmap of :func:`prepare_window`.
     ``fused_raster=True``: geometric transforms stay vmapped per window,
     but all B×F frames are rasterized in ONE call to the fused Pallas
     kernel (``renderloom.ops.rasterize_pallas``) — the TPU-preferred
-    path (one kernel launch, outputs written once).
+    path (one kernel launch; the kernel emits the final NHWC label
+    directly, so the stream is written exactly once).
     ``label_dtype``: emit the 22ch label stream in this dtype (bf16 on
     TPU halves the pipeline's dominant write; the fused kernel casts at
     the store).  Default keeps float32 (training parity).
+    ``packed_label``: emit the label parity-packed, (B,F,H/2,W/2,88) =
+    ``fastpath.space_to_depth`` per frame — the parity-layout inference
+    generator consumes it with zero input repacking.
     """
     B = batch["images"].shape[0]
     if not fused_raster:
@@ -260,6 +265,13 @@ def prepare_batch(key: Optional[jax.Array], batch: Dict[str, jax.Array],
                                             batch["poses"])
         if label_dtype is not None:
             out = dict(out, label=out["label"].astype(label_dtype))
+        if packed_label:
+            from renderloom.models.fastpath import space_to_depth
+            lbl = out["label"]
+            Bb, F = lbl.shape[:2]
+            out = dict(out, label=space_to_depth(
+                lbl.reshape((Bb * F,) + lbl.shape[2:])
+            ).reshape((Bb, F, lbl.shape[2] // 2, lbl.shape[3] // 2, 88)))
         return out
 
     from renderloom.ops.rasterize_pallas import rasterize_frames_fused
@@ -305,12 +317,13 @@ def prepare_batch(key: Optional[jax.Array], batch: Dict[str, jax.Array],
         random_drop_prob=cfg.random_drop_prob,
         random_blur_rate=cfg.random_blur_rate, thres=cfg.skeleton_thres,
         foot_thres=cfg.foot_thres, train=train and key is not None,
-        out_dtype=label_dtype or jnp.float32)
+        out_dtype=label_dtype or jnp.float32,
+        layout="packed" if packed_label else "nhwc")
 
-    skel = jnp.transpose(ras["skeleton"], (0, 2, 3, 1)) * 2.0 - 1.0
-    heat = jnp.transpose(ras["heatmaps"], (0, 2, 3, 1))
-    label = jnp.concatenate([skel, heat], axis=-1) \
-        .reshape(B, F, H, W, 22)
+    if packed_label:
+        label = ras["label"].reshape(B, F, H // 2, W // 2, 88)
+    else:
+        label = ras["label"].reshape(B, F, H, W, 22)
     fg_mask = ras["mask"].reshape(B, F, H, W, 1)
 
     back = dain_t

@@ -280,16 +280,22 @@ def _norm(h, ns, nb, parity=False, act=False):
 
 def mask_apply_fast(tp: dict, label: jax.Array, imgs: jax.Array,
                     cdt=jnp.float32, num_downsamples: int = 3,
-                    num_res_blocks: int = 4) -> jax.Array:
+                    num_res_blocks: int = 4,
+                    label_packed: Optional[bool] = None) -> jax.Array:
     """Parity-layout MaskGenerator forward: same function as
     ``MaskGenerator.apply`` on the original (folded) params to float
-    tolerance.  ``label`` (B,H,W,22), ``imgs`` (B,H,W,9); H, W must be
-    divisible by 2^num_downsamples."""
+    tolerance.  ``label`` (B,H,W,22) — or already parity-packed
+    (B,H/2,W/2,88), e.g. straight from the fused rasterizer's packed
+    layout; ``imgs`` (B,H,W,9); H, W must be divisible by
+    2^num_downsamples."""
     assert num_downsamples >= 1, "packed head needs >= 1 downsample"
+    if label_packed is None:
+        label_packed = label.shape[-1] == 4 * 22
 
-    def enc(x, pre):
+    def enc(x, pre, packed=False):
         p = tp[f"{pre}_in"]
-        h = _conv(space_to_depth(x.astype(cdt)), p["k"], p["b"])
+        h = _conv(x.astype(cdt) if packed
+                  else space_to_depth(x.astype(cdt)), p["k"], p["b"])
         h = _norm(h, p["ns"], p["nb"], parity=True, act=True)
         for i in range(num_downsamples):
             p = tp[f"{pre}_down{i}"]
@@ -308,7 +314,8 @@ def mask_apply_fast(tp: dict, label: jax.Array, imgs: jax.Array,
                 h = _norm(h, p["ns"], p["nb"], act=True)
         return h
 
-    h = jnp.concatenate([enc(label, "lbl"), enc(imgs, "img")], axis=-1)
+    h = jnp.concatenate([enc(label, "lbl", packed=label_packed),
+                         enc(imgs, "img")], axis=-1)
 
     for i in range(num_res_blocks):
         r = tp[f"res{i}"]
@@ -561,8 +568,11 @@ def trunk_apply_fast(tp: dict, label: jax.Array, cond_maps, cond_packed,
         packed_levels = trunk_packed_levels()
     kL = max(1, min(packed_levels, n_down))
 
-    x = _conv(space_to_depth(label.astype(cdt)), tp["down_first"]["k"],
-              tp["down_first"]["b"])
+    # a label wider than input_label_nc is the rasterizer's pre-packed
+    # (4·nc) parity layout — consume it directly
+    lp = label.astype(cdt) if label.shape[-1] != gen_cfg.input_label_nc \
+        else space_to_depth(label.astype(cdt))
+    x = _conv(lp, tp["down_first"]["k"], tp["down_first"]["b"])
     for i in range(n_down + 1):
         j = min(n_embed, i)
         if i < kL:
@@ -644,10 +654,11 @@ class FastInferenceGen:
             [img_prev.astype(self.dtype), img_warped.astype(self.dtype),
              img.astype(self.dtype)], axis=-1)
         m = self.cfg.mask
-        mask = mask_apply_fast(params["__fast__"]["mask"],
-                               label.astype(self.dtype), imgs, self.dtype,
-                               num_downsamples=m.num_downsamples,
-                               num_res_blocks=m.num_res_blocks)
+        mask = mask_apply_fast(
+            params["__fast__"]["mask"], label.astype(self.dtype), imgs,
+            self.dtype, num_downsamples=m.num_downsamples,
+            num_res_blocks=m.num_res_blocks,
+            label_packed=label.shape[-1] != self.cfg.input_label_nc)
         return img, mask.astype(img.dtype)
 
 

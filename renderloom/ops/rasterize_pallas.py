@@ -91,45 +91,41 @@ def _build_tables(coords, conf, sigma, keep_joints, keep_edges,
     return joints, skel, caps
 
 
-def _kernel(joints_ref, skel_ref, caps_ref, heat_ref, skimg_ref,
-            mask_ref, part_ref, *, tile_h: int, width: int,
-            brush: float):
-    # TPU iota must be integer-typed; cast after (Mosaic rejects f32 iota)
-    h0 = (pl.program_id(1) * tile_h).astype(jnp.float32)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 0
-                                  ).astype(jnp.float32) + h0
-    xs = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 1
-                                  ).astype(jnp.float32)
+def _grids(shape, h0, scale: int = 1, oy: int = 0, ox: int = 0):
+    """Full-res (ys, xs) pixel grids for a block of ``shape`` whose row
+    0 sits at full-res row ``h0``.  ``scale``/``oy``/``ox`` map a
+    parity-packed block to its full-res coordinates (packed index i →
+    full-res 2i+parity).  TPU iota must be integer-typed; cast after
+    (Mosaic rejects f32 iota)."""
+    ys = jax.lax.broadcasted_iota(jnp.int32, shape, 0
+                                  ).astype(jnp.float32) * scale + oy + h0
+    xs = jax.lax.broadcasted_iota(jnp.int32, shape, 1
+                                  ).astype(jnp.float32) * scale + ox
+    return ys, xs
 
-    # ---- heatmaps: one channel per joint --------------------------------
-    odt = heat_ref.dtype                     # label stream dtype (f32 or
-    for j in range(J):                       # bf16: halves the write)
-        x = joints_ref[0, j, 0]
-        y = joints_ref[0, j, 1]
-        inv2s2 = joints_ref[0, j, 2]
-        valid = joints_ref[0, j, 3]
-        d2 = (xs - x) ** 2 + (ys - y) ** 2
-        heat_ref[0, j] = (jnp.exp(-d2 * inv2s2) * valid).astype(odt)
 
-    def seg_dist2(ax, ay, bx, by):
-        # SQUARED capsule distance: every use compares against a
-        # non-negative radius, so d <= r runs as d^2 <= r^2 — saves a
-        # VPU sqrt per capsule per pixel (57 sqrts/px at 320x480)
-        dx, dy = bx - ax, by - ay
-        len2 = dx * dx + dy * dy
-        t = ((xs - ax) * dx + (ys - ay) * dy) / jnp.maximum(len2, 1e-6)
-        t = jnp.clip(t, 0.0, 1.0)
-        cx, cy = ax + t * dx, ay + t * dy
-        return (xs - cx) ** 2 + (ys - cy) ** 2
+def _seg_dist2(xs, ys, ax, ay, bx, by):
+    # SQUARED capsule distance: every use compares against a
+    # non-negative radius, so d <= r runs as d^2 <= r^2 — saves a
+    # VPU sqrt per capsule per pixel (57 sqrts/px at 320x480)
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    t = ((xs - ax) * dx + (ys - ay) * dy) / jnp.maximum(len2, 1e-6)
+    t = jnp.clip(t, 0.0, 1.0)
+    cx, cy = ax + t * dx, ay + t * dy
+    return (xs - cx) ** 2 + (ys - cy) ** 2
 
-    # ---- skeleton: color-averaged capsule coverage ----------------------
-    zeros = jnp.zeros((tile_h, width), jnp.float32)
+
+def _skel_tiles(xs, ys, skel_ref, brush: float):
+    """Skeleton color image: color-averaged capsule coverage → 3 tiles
+    (coverage-colored, range [0, 1])."""
+    zeros = jnp.zeros(xs.shape, jnp.float32)
     racc, gacc, bacc, cnt = zeros, zeros, zeros, zeros
     for e in range(E_SKEL):
         ax, ay = skel_ref[0, e, 0], skel_ref[0, e, 1]
         bx, by = skel_ref[0, e, 2], skel_ref[0, e, 3]
         valid = skel_ref[0, e, 4]
-        d2 = seg_dist2(ax, ay, bx, by)
+        d2 = _seg_dist2(xs, ys, ax, ay, bx, by)
         da2 = (xs - ax) ** 2 + (ys - ay) ** 2
         db2 = (xs - bx) ** 2 + (ys - by) ** 2
         cover = jnp.where(
@@ -140,11 +136,25 @@ def _kernel(joints_ref, skel_ref, caps_ref, heat_ref, skimg_ref,
         bacc = bacc + cover * skel_ref[0, e, 7]
         cnt = cnt + cover
     denom = jnp.maximum(cnt, 1.0)
-    skimg_ref[0, 0] = (racc / denom).astype(odt)
-    skimg_ref[0, 1] = (gacc / denom).astype(odt)
-    skimg_ref[0, 2] = (bacc / denom).astype(odt)
+    return [racc / denom, gacc / denom, bacc / denom]
 
-    # ---- human masks: union of capsules ---------------------------------
+
+def _heat_tiles(xs, ys, joints_ref):
+    """One gaussian heatmap tile per joint (19 tiles)."""
+    tiles = []
+    for j in range(J):
+        x = joints_ref[0, j, 0]
+        y = joints_ref[0, j, 1]
+        inv2s2 = joints_ref[0, j, 2]
+        valid = joints_ref[0, j, 3]
+        d2 = (xs - x) ** 2 + (ys - y) ** 2
+        tiles.append(jnp.exp(-d2 * inv2s2) * valid)
+    return tiles
+
+
+def _mask_tiles(xs, ys, caps_ref):
+    """Human mask + part mask: union of capsule coverages."""
+    zeros = jnp.zeros(xs.shape, jnp.float32)
     macc, pacc = zeros, zeros
     for c in range(J + E_MASK):
         ax, ay = caps_ref[0, c, 0], caps_ref[0, c, 1]
@@ -152,10 +162,71 @@ def _kernel(joints_ref, skel_ref, caps_ref, heat_ref, skimg_ref,
         radius = caps_ref[0, c, 4]
         valid = caps_ref[0, c, 5]
         is_part = caps_ref[0, c, 6]
-        d2 = seg_dist2(ax, ay, bx, by)
+        d2 = _seg_dist2(xs, ys, ax, ay, bx, by)
         cover = jnp.where(d2 <= radius * radius, valid, 0.0)
         macc = jnp.maximum(macc, cover)
         pacc = jnp.maximum(pacc, cover * is_part)
+    return macc, pacc
+
+
+def _kernel(joints_ref, skel_ref, caps_ref, heat_ref, skimg_ref,
+            mask_ref, part_ref, *, tile_h: int, width: int,
+            brush: float):
+    """Channel-major layout: heatmaps (F,19,H,W) + skeleton (F,3,H,W)."""
+    h0 = (pl.program_id(1) * tile_h).astype(jnp.float32)
+    ys, xs = _grids((tile_h, width), h0)
+    odt = heat_ref.dtype                     # label stream dtype (f32 or
+    for j, t in enumerate(_heat_tiles(xs, ys, joints_ref)):
+        heat_ref[0, j] = t.astype(odt)       # bf16: halves the write
+    for c, t in enumerate(_skel_tiles(xs, ys, skel_ref, brush)):
+        skimg_ref[0, c] = t.astype(odt)
+    macc, pacc = _mask_tiles(xs, ys, caps_ref)
+    mask_ref[0] = macc
+    part_ref[0] = pacc
+
+
+def _label_tiles(xs, ys, joints_ref, skel_ref, brush: float):
+    """The final 22ch label at these pixels: 3ch skeleton scaled to
+    [-1, 1] + 19ch heatmaps (data/hsm.py label assembly order,
+    trainer.py:152 semantics)."""
+    skel = [t * 2.0 - 1.0 for t in _skel_tiles(xs, ys, skel_ref, brush)]
+    return skel + _heat_tiles(xs, ys, joints_ref)
+
+
+def _kernel_nhwc(joints_ref, skel_ref, caps_ref, label_ref, mask_ref,
+                 part_ref, *, tile_h: int, width: int, brush: float):
+    """NHWC layout: the assembled (F,H,W,22) label written once — the
+    downstream consumers are all NHWC, so emitting it directly deletes
+    the two full-stream transposes + concat the channel-major layout
+    paid in prepare_batch (~3 extra HBM round-trips of the pipeline's
+    biggest tensor)."""
+    h0 = (pl.program_id(1) * tile_h).astype(jnp.float32)
+    ys, xs = _grids((tile_h, width), h0)
+    tiles = _label_tiles(xs, ys, joints_ref, skel_ref, brush)
+    label_ref[0] = jnp.stack(tiles, axis=-1).astype(label_ref.dtype)
+    macc, pacc = _mask_tiles(xs, ys, caps_ref)
+    mask_ref[0] = macc
+    part_ref[0] = pacc
+
+
+def _kernel_packed(joints_ref, skel_ref, caps_ref, label_ref, mask_ref,
+                   part_ref, *, tile_h: int, width: int, brush: float):
+    """Parity-packed layout: label (F,H/2,W/2,88) with channel index
+    (row_parity·2 + col_parity)·22 + c — exactly
+    ``fastpath.space_to_depth`` of the NHWC label, so the parity-layout
+    fast path never pays a space-to-depth on its input.  The masks stay
+    full-res.  Same per-pixel work: each full-res pixel is computed in
+    exactly one parity tile."""
+    th_p, w_p = tile_h // 2, width // 2
+    h0 = (pl.program_id(1) * tile_h).astype(jnp.float32)
+    tiles = []
+    for a in (0, 1):
+        for b in (0, 1):
+            ys, xs = _grids((th_p, w_p), h0, scale=2, oy=a, ox=b)
+            tiles += _label_tiles(xs, ys, joints_ref, skel_ref, brush)
+    label_ref[0] = jnp.stack(tiles, axis=-1).astype(label_ref.dtype)
+    ysf, xsf = _grids((tile_h, width), h0)
+    macc, pacc = _mask_tiles(xsf, ysf, caps_ref)
     mask_ref[0] = macc
     part_ref[0] = pacc
 
@@ -167,17 +238,36 @@ def rasterize_frames_fused(key: Optional[jax.Array], coords: jax.Array,
                            random_blur_rate: float = 0.06,
                            thres: float = 0.001,
                            foot_thres: float = 0.001,
-                           train: bool = True, tile_h: int = 64,
+                           train: bool = True,
+                           tile_h: Optional[int] = None,
                            interpret: bool = False,
-                           out_dtype=jnp.float32):
+                           out_dtype=jnp.float32,
+                           layout: str = "cfhw"):
     """Pallas-fused equivalent of :func:`rasterize.rasterize_frames`.
 
-    coords (F, J, 2), conf (F, J) → dict of
-    heatmaps (F,19,H,W), skeleton (F,3,H,W) in ``out_dtype`` (bf16
-    halves the dominant label-stream write on TPU),
-    mask/part_mask (F,H,W) f32 (0/1).
+    coords (F, J, 2), conf (F, J) → dict; ``layout`` picks the label
+    output form (masks are always (F,H,W) f32 0/1):
+
+    * ``"cfhw"``  — heatmaps (F,19,H,W) + skeleton (F,3,H,W) coverage
+      colors in [0,1], both ``out_dtype`` (the rasterize.py-compatible
+      form);
+    * ``"nhwc"``  — the assembled label (F,H,W,22): skeleton scaled to
+      [-1,1] + heatmaps, written once in the consumer layout;
+    * ``"packed"`` — label (F,H/2,W/2,88) = space_to_depth of the NHWC
+      label for the parity fast path (fastpath.py); H, W must be even.
+
+    ``out_dtype=bf16`` halves the dominant label-stream write on TPU.
     """
     F = coords.shape[0]
+    if tile_h is None:
+        # hardware-tunable without code edits (the TPU sweep A/Bs it);
+        # 64 rows x 480 px x 22ch fits VMEM with headroom at any layout
+        import os
+        tile_h = int(os.environ.get("RENDERLOOM_RASTER_TILE_H", "64"))
+    if layout == "packed":
+        assert height % 2 == 0 and width % 2 == 0, (height, width)
+        if tile_h % 2:
+            tile_h += 1
     if height % tile_h != 0:
         tile_h = height          # fall back to one tile per frame
     # compiled pallas needs a TPU; elsewhere run the interpreter
@@ -212,25 +302,55 @@ def rasterize_frames_fused(key: Optional[jax.Array], coords: jax.Array,
     param_spec = lambda rows, cols: pl.BlockSpec(
         (1, rows, cols), lambda f, t: (f, 0, 0),
         memory_space=pltpu.VMEM)
-    out_specs = [
-        pl.BlockSpec((1, J, tile_h, width), lambda f, t: (f, 0, t, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 3, tile_h, width), lambda f, t: (f, 0, t, 0),
-                     memory_space=pltpu.VMEM),
+    mask_specs = [
         pl.BlockSpec((1, tile_h, width), lambda f, t: (f, t, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile_h, width), lambda f, t: (f, t, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out_shape = [
-        jax.ShapeDtypeStruct((F, J, height, width), out_dtype),
-        jax.ShapeDtypeStruct((F, 3, height, width), out_dtype),
+    mask_shapes = [
         jax.ShapeDtypeStruct((F, height, width), jnp.float32),
         jax.ShapeDtypeStruct((F, height, width), jnp.float32),
     ]
-    kernel = functools.partial(_kernel, tile_h=tile_h, width=width,
+    if layout == "cfhw":
+        kfn = _kernel
+        out_specs = [
+            pl.BlockSpec((1, J, tile_h, width), lambda f, t: (f, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tile_h, width), lambda f, t: (f, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ] + mask_specs
+        out_shape = [
+            jax.ShapeDtypeStruct((F, J, height, width), out_dtype),
+            jax.ShapeDtypeStruct((F, 3, height, width), out_dtype),
+        ] + mask_shapes
+    elif layout == "nhwc":
+        kfn = _kernel_nhwc
+        out_specs = [
+            pl.BlockSpec((1, tile_h, width, J + 3),
+                         lambda f, t: (f, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + mask_specs
+        out_shape = [
+            jax.ShapeDtypeStruct((F, height, width, J + 3), out_dtype),
+        ] + mask_shapes
+    elif layout == "packed":
+        kfn = _kernel_packed
+        out_specs = [
+            pl.BlockSpec((1, tile_h // 2, width // 2, 4 * (J + 3)),
+                         lambda f, t: (f, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + mask_specs
+        out_shape = [
+            jax.ShapeDtypeStruct(
+                (F, height // 2, width // 2, 4 * (J + 3)), out_dtype),
+        ] + mask_shapes
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+
+    kernel = functools.partial(kfn, tile_h=tile_h, width=width,
                                brush=R.SKELETON_BRUSH)
-    heat, skimg, mask, part = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[param_spec(J, 4), param_spec(E_SKEL, 8),
@@ -239,5 +359,9 @@ def rasterize_frames_fused(key: Optional[jax.Array], coords: jax.Array,
         out_shape=out_shape,
         interpret=interpret,
     )(joints, skel, caps)
-    return {"heatmaps": heat, "skeleton": skimg, "mask": mask,
-            "part_mask": part}
+    if layout == "cfhw":
+        heat, skimg, mask, part = outs
+        return {"heatmaps": heat, "skeleton": skimg, "mask": mask,
+                "part_mask": part}
+    label, mask, part = outs
+    return {"label": label, "mask": mask, "part_mask": part}

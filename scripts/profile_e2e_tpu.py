@@ -72,6 +72,8 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
     interp_pad = bucket_length(L, rate)
     times = int(np.log2(rate))
     fused_raster = on_tpu
+    from renderloom.models.fastpath import use_fastpath
+    packed_label = fused_raster and use_fastpath()
 
     # ---- stage jits.  Two methodology rules (both learned the hard
     # way): (1) every big array is an explicit ARGUMENT — captured
@@ -108,7 +110,8 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
                              rcfg.data, train=False,
                              fused_raster=fused_raster,
                              label_dtype=jnp.bfloat16 if on_tpu
-                             else None)
+                             else None,
+                             packed_label=packed_label)
         batch = {"label": prep["label"], "back": prep["back"],
                  "key_img": prep["image"], "is_key": is_key}
         return batch, jnp.sum(prep["label"]) * 1e-20
@@ -138,7 +141,8 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
                              rcfg.data, train=False,
                              fused_raster=fused_raster,
                              label_dtype=jnp.bfloat16 if on_tpu
-                             else None)
+                             else None,
+                             packed_label=packed_label)
         b = {"label": prep["label"], "back": prep["back"],
              "key_img": prep["image"], "is_key": is_key}
         fused, _ = rollout(g_params, {}, b)

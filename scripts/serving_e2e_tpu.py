@@ -64,6 +64,8 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
     interp_pad = bucket_length(L, rate)
     times = int(np.log2(rate))
     fused_raster = on_tpu
+    from renderloom.models.fastpath import use_fastpath
+    packed_label = fused_raster and use_fastpath()
 
     @jax.jit
     def serve(m_params, g_params, motion_b, conf_b, keys_b):
@@ -91,7 +93,8 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
                              rcfg.data, train=False,
                              fused_raster=fused_raster,
                              label_dtype=jnp.bfloat16 if on_tpu
-                             else None)
+                             else None,
+                             packed_label=packed_label)
         # the 22ch label is the biggest live tensor (1.56 GB fp32 at 4
         # clips): the raster kernel now EMITS it bf16 (label_dtype
         # above) — the generator's first conv casts to bf16 anyway, and

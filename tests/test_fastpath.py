@@ -178,6 +178,55 @@ def test_fast_gen_matches_flax_rollout(monkeypatch, packed_levels):
     np.testing.assert_allclose(outs["1"][1], outs["0"][1], atol=3e-5)
 
 
+def test_fast_gen_consumes_packed_labels(monkeypatch):
+    """Feeding the rollout a pre-packed (B,L,H/2,W/2,88) label — the
+    fused rasterizer's ``layout='packed'`` output — is exact vs the
+    standard path on the plain NHWC label."""
+    monkeypatch.setenv("RENDERLOOM_PACKED_LEVELS", "1")
+    from renderloom.core.config import (EmbedConfig, MaskNetConfig,
+                                        RendererConfig)
+    from renderloom.core.config import GeneratorConfig as GC
+    from renderloom.train.gan import (create_gan_state,
+                                      make_inference_pair,
+                                      make_segment_rollout)
+
+    H, W, B, rate, K = 32, 48, 1, 2, 3
+    cfg = RendererConfig(gen=GC(
+        num_filters=4, max_num_filters=16, num_layers=6,
+        num_downsamples=4, do_checkpoint=False,
+        mask=MaskNetConfig(num_filters=4, max_num_filters=16,
+                           num_downsamples=3, num_res_blocks=2),
+        embed=EmbedConfig(num_filters=4, max_num_filters=16,
+                          num_downsamples=4)))
+    _, _, _, state = create_gan_state(jax.random.PRNGKey(0), cfg,
+                                      height=H, width=W)
+    rng = np.random.default_rng(6)
+    L = (K - 1) * rate + 1
+    label = jnp.asarray(rng.uniform(-1, 1, (B, L, H, W, 22)), jnp.float32)
+    batch = {
+        "label": label,
+        "back": jnp.asarray(rng.uniform(-1, 1, (B, L, H, W, 3)),
+                            jnp.float32),
+        "key_img": jnp.asarray(rng.uniform(-1, 1, (B, L, H, W, 3)),
+                               jnp.float32),
+    }
+    monkeypatch.setenv("RENDERLOOM_FASTPATH", "0")
+    gen, folded = make_inference_pair(cfg, state.params_g, state.stats_g)
+    ref_fused, ref_masks = make_segment_rollout(gen, cfg, rate)(
+        folded, {}, batch)
+
+    monkeypatch.setenv("RENDERLOOM_FASTPATH", "1")
+    packed = space_to_depth(label.reshape((B * L, H, W, 22))) \
+        .reshape((B, L, H // 2, W // 2, 88))
+    gen, folded = make_inference_pair(cfg, state.params_g, state.stats_g)
+    fused, masks = make_segment_rollout(gen, cfg, rate)(
+        folded, {}, dict(batch, label=packed))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref_fused),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(masks), np.asarray(ref_masks),
+                               atol=3e-5)
+
+
 def test_mask_fast_matches_flax():
     cfg = _mask_cfg()
     mask = MaskGenerator(cfg, jnp.float32)

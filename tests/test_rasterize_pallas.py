@@ -77,3 +77,60 @@ def test_fused_bf16_labels():
     np.testing.assert_allclose(
         np.asarray(b16["skeleton"], np.float32),
         np.asarray(f32["skeleton"]), atol=8e-3)
+
+
+def test_nhwc_layout_matches_cfhw():
+    coords, conf = _random_frames(2, seed=5)
+    ref = rasterize_frames_fused(None, coords, conf, H, W,
+                                 gauss_sigma=4.0, train=False,
+                                 tile_h=32, interpret=True)
+    got = rasterize_frames_fused(None, coords, conf, H, W,
+                                 gauss_sigma=4.0, train=False,
+                                 tile_h=32, interpret=True,
+                                 layout="nhwc")
+    # nhwc label = [skel*2-1 (3ch), heat (19ch)] channels-last
+    skel = np.transpose(np.asarray(ref["skeleton"]), (0, 2, 3, 1))
+    heat = np.transpose(np.asarray(ref["heatmaps"]), (0, 2, 3, 1))
+    want = np.concatenate([skel * 2.0 - 1.0, heat], axis=-1)
+    assert got["label"].shape == (2, H, W, 22)
+    np.testing.assert_allclose(np.asarray(got["label"]), want, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got["mask"]),
+                                  np.asarray(ref["mask"]))
+    np.testing.assert_array_equal(np.asarray(got["part_mask"]),
+                                  np.asarray(ref["part_mask"]))
+
+
+def test_packed_layout_is_s2d_of_nhwc():
+    from renderloom.models.fastpath import space_to_depth
+    coords, conf = _random_frames(2, seed=6)
+    nhwc = rasterize_frames_fused(None, coords, conf, H, W,
+                                  gauss_sigma=4.0, train=False,
+                                  tile_h=32, interpret=True,
+                                  layout="nhwc")
+    packed = rasterize_frames_fused(None, coords, conf, H, W,
+                                    gauss_sigma=4.0, train=False,
+                                    tile_h=32, interpret=True,
+                                    layout="packed")
+    want = np.asarray(space_to_depth(nhwc["label"]))
+    assert packed["label"].shape == (2, H // 2, W // 2, 88)
+    np.testing.assert_allclose(np.asarray(packed["label"]), want,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(packed["mask"]),
+                                  np.asarray(nhwc["mask"]))
+
+
+def test_packed_train_path_matches_jnp():
+    # the train-path RNG tables are shared, so the packed label must be
+    # s2d of the jnp path's assembled label under the same key
+    coords, conf = _random_frames(1, seed=7)
+    key = jax.random.PRNGKey(13)
+    ref = R.rasterize_frames(key, coords, conf, H, W, train=True)
+    got = rasterize_frames_fused(key, coords, conf, H, W, train=True,
+                                 tile_h=32, interpret=True,
+                                 layout="packed")
+    from renderloom.models.fastpath import depth_to_space
+    lbl = np.asarray(depth_to_space(got["label"]))
+    skel = np.transpose(np.asarray(ref["skeleton"]), (0, 2, 3, 1))
+    heat = np.transpose(np.asarray(ref["heatmaps"]), (0, 2, 3, 1))
+    want = np.concatenate([skel * 2.0 - 1.0, heat], axis=-1)
+    np.testing.assert_allclose(lbl, want, atol=1e-5)
