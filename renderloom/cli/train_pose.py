@@ -74,12 +74,18 @@ def main(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--steps-per-epoch", type=int, default=50,
                    help="synthetic mode only")
+    p.add_argument("--occlude-rate", type=float, default=None,
+                   help="random-erase occlusion augmentation "
+                        "probability (see PoseNetConfig.occlude_rate)")
     args = p.parse_args(argv)
 
     from renderloom.core.cache import enable_compile_cache
     enable_compile_cache()
 
     cfg = load_pose_config(args.config) if args.config else PoseNetConfig()
+    if args.occlude_rate is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, occlude_rate=args.occlude_rate)
     epochs = args.epochs or cfg.nr_epochs
     os.makedirs(args.out_dir, exist_ok=True)
     logger = MetricLogger(args.out_dir)

@@ -368,6 +368,14 @@ class PoseNetConfig:
     nr_epochs: int = 50
     batch_size: int = 16
     compute_dtype: str = "float32"
+    # random-erase occlusion augmentation (on-device, in the jitted
+    # step): each image gets `occlude_count` rectangles, each applied
+    # with prob `occlude_rate`, sized up to `occlude_frac` of the
+    # image side, filled with a random flat color — trains the head to
+    # localize partially hidden joints
+    occlude_rate: float = 0.0
+    occlude_count: int = 2
+    occlude_frac: float = 0.3
 
 
 def load_pose_config(path: str) -> "PoseNetConfig":

@@ -85,12 +85,47 @@ def pose_loss(model: PoseNet, params, images: jax.Array,
                    "loss/total": total}
 
 
+def random_erase(key: jax.Array, images: jax.Array, count: int,
+                 rate: float, frac: float) -> jax.Array:
+    """Occlusion augmentation: ``count`` random flat-color rectangles
+    per image, each drawn with probability ``rate``, up to ``frac`` of
+    the image side.  Pose targets are NOT edited — the head must infer
+    hidden joints from context, which is exactly the occluded-joint
+    regime the demo eval flagged (BASELINE.md pose section).  Static
+    shapes: rectangles are broadcast iota masks, fully jittable."""
+    B, H, W, _ = images.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (1, H, W, 1), 1)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (1, H, W, 1), 2)
+    for i in range(count):
+        key, k1, k2, k3, k4 = jax.random.split(key, 5)
+        wh = jax.random.uniform(k1, (B, 2), minval=0.1,
+                                maxval=max(frac, 0.1))
+        bh, bw = wh[:, 0] * H, wh[:, 1] * W            # box size px
+        cyx = jax.random.uniform(k2, (B, 2))
+        cy, cx = cyx[:, 0] * H, cyx[:, 1] * W
+        on = (jax.random.uniform(k3, (B,)) < rate)
+        color = jax.random.uniform(k4, (B, 1, 1, 3))
+        def exp(v):
+            return v[:, None, None, None]
+        inside = ((jnp.abs(ys - exp(cy)) < exp(bh) / 2)
+                  & (jnp.abs(xs - exp(cx)) < exp(bw) / 2)
+                  & exp(on))
+        images = jnp.where(inside, color, images)
+    return images
+
+
 def make_pose_train_step(model: PoseNet, tx, cfg: PoseNetConfig):
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: PoseTrainState, batch):
         images = batch["images"].astype(jnp.float32)
         if jnp.issubdtype(batch["images"].dtype, jnp.integer):
             images = images / 255.0
+        if cfg.occlude_rate > 0.0:
+            # fold the step counter in: state.key is stable across the
+            # run (checkpoint-compatible), the per-step stream is not
+            k_aug = jax.random.fold_in(state.key, state.step)
+            images = random_erase(k_aug, images, cfg.occlude_count,
+                                  cfg.occlude_rate, cfg.occlude_frac)
 
         def loss_fn(p):
             return pose_loss(model, p, images, batch["poses"], cfg)

@@ -44,9 +44,12 @@ def main(train_epochs: int = 30):
     if ckpt.latest_step(os.path.join(out_dir, "ckpt")) is None:
         from renderloom.cli.train_pose import main as train_pose_main
 
+        # occlusion augmentation on (VERDICT r3 #8): the eval clip's
+        # subject is held out AND an occluded eval variant is scored
         train_pose_main(["--h5", h5, "--out-dir", out_dir,
                          "--height", str(H), "--width", str(W),
-                         "--epochs", str(train_epochs)])
+                         "--epochs", str(train_epochs),
+                         "--occlude-rate", "0.5"])
     from renderloom.core.config import PoseNetConfig
     from renderloom.models.posenet import decode_heatmaps
     from renderloom.train.pose import create_pose_state
@@ -70,27 +73,49 @@ def main(train_epochs: int = 30):
         logits = model.apply({"params": params}, imgs / 255.0)
         return decode_heatmaps(logits)
 
-    kps, _conf = infer(jnp.asarray(clip))
-    pr_xy = np.asarray(kps)                       # (17, 19, 2) x, y px
+    def score(frames, tag):
+        kps, _conf = infer(jnp.asarray(frames))
+        pr_xy = np.asarray(kps)                   # (17, 19, 2) x, y px
+        gt_xy = gt[..., :2]
+        err = np.linalg.norm(pr_xy - gt_xy, axis=-1)     # (17, 19) px
+        # PCK threshold: k x max bbox side of the GT skeleton per frame
+        bbox = np.maximum(gt_xy.max(1) - gt_xy.min(1), 1.0)
+        side = bbox.max(-1, keepdims=True)               # (17, 1)
+        out = {
+            f"{tag}pck_at_0.1": round(float(np.mean(err < 0.1 * side)),
+                                      4),
+            f"{tag}pck_at_0.2": round(float(np.mean(err < 0.2 * side)),
+                                      4),
+            f"{tag}mean_px_error": round(float(err.mean()), 2),
+            f"{tag}median_px_error": round(float(np.median(err)), 2),
+        }
+        if not tag:          # per-joint breakdown for the clean eval
+            out["per_joint_mean_px"] = [round(float(v), 1)
+                                        for v in err.mean(0)]
+        return out
 
-    gt_xy = gt[..., :2]
-    err = np.linalg.norm(pr_xy - gt_xy, axis=-1)        # (17, 19) px
-
-    # PCK threshold: 0.1 x max bbox side of the GT skeleton per frame
-    bbox = np.maximum(gt_xy.max(1) - gt_xy.min(1), 1.0)  # (17, 2)
-    thr = 0.1 * bbox.max(-1, keepdims=True)              # (17, 1)
-    pck = float(np.mean(err < thr))
-    mean_err = float(err.mean())
-    med_err = float(np.median(err))
-
-    print(f"PCK@0.1(bbox): {pck * 100:.1f}%   mean keypoint error "
-          f"{mean_err:.2f} px   median {med_err:.2f} px "
-          f"(frames={len(clip)}, joints=19, {H}x{W})")
     summary = {"platform": jax.default_backend(),
                "train_epochs": train_epochs,
-               "pck_at_0.1": round(pck, 4),
-               "mean_px_error": round(mean_err, 2),
-               "median_px_error": round(med_err, 2)}
+               "held_out_subject": True}
+    summary.update(score(clip, ""))
+
+    # occluded variant: a flat gray box over a random third of the
+    # person bbox per frame — measures the occluded-joint regime the
+    # round-3 number was weakest on
+    occ = clip.copy()
+    rng = np.random.default_rng(3)
+    for i in range(len(occ)):
+        xy = gt[i, :, :2]
+        x0, y0 = xy.min(0)
+        x1, y1 = xy.max(0)
+        bw, bh = (x1 - x0) * 0.45, (y1 - y0) * 0.45
+        cx = rng.uniform(x0, x1)
+        cy = rng.uniform(y0, y1)
+        xa, xb = int(max(cx - bw / 2, 0)), int(min(cx + bw / 2, W))
+        ya, yb = int(max(cy - bh / 2, 0)), int(min(cy + bh / 2, H))
+        occ[i, ya:yb, xa:xb] = 128.0
+    summary.update(score(occ, "occluded_"))
+
     print(json.dumps(summary))
     with open("/tmp/pose_quality.json", "w") as f:
         json.dump(summary, f, indent=1)

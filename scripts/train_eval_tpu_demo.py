@@ -25,22 +25,30 @@ H, W = 320, 480
 N_TRAIN, N_TEST = 48, 17
 
 
-def _pose(t):
-    """19-joint walking-ish skeleton in image coords."""
+def _pose(t, scale=1.0, cy0=150.0, sway_amp=12.0):
+    """19-joint walking-ish skeleton in image coords.  ``scale``/
+    ``cy0``/``sway_amp`` parameterize the subject (limb length, height
+    in frame, gait) so each clip carries a distinct body."""
     cx = 120 + (W - 240) * t
-    cy = 150.0
-    sway = 12 * np.sin(t * 12 * np.pi)
+    cy = cy0
+    s = scale
+    sway = sway_amp * np.sin(t * 12 * np.pi)
     j = np.zeros((19, 3), np.float32)
     pts = {
-        0: (cx, cy - 78), 1: (cx, cy - 55), 2: (cx - 22, cy - 55),
-        3: (cx - 30, cy - 25), 4: (cx - 32 + sway / 2, cy + 2),
-        5: (cx + 22, cy - 55), 6: (cx + 30, cy - 25),
-        7: (cx + 32 - sway / 2, cy + 2), 8: (cx, cy),
-        9: (cx - 12, cy), 10: (cx - 14 + sway, cy + 40),
-        11: (cx - 15 + sway, cy + 80), 12: (cx + 12, cy),
-        13: (cx + 14 - sway, cy + 40), 14: (cx + 15 - sway, cy + 80),
-        15: (cx - 15 + sway, cy + 88), 16: (cx + 15 - sway, cy + 88),
-        17: (cx - 34 + sway / 2, cy + 8), 18: (cx + 34 - sway / 2, cy + 8),
+        0: (cx, cy - 78 * s), 1: (cx, cy - 55 * s),
+        2: (cx - 22 * s, cy - 55 * s),
+        3: (cx - 30 * s, cy - 25 * s),
+        4: (cx - 32 * s + sway / 2, cy + 2 * s),
+        5: (cx + 22 * s, cy - 55 * s), 6: (cx + 30 * s, cy - 25 * s),
+        7: (cx + 32 * s - sway / 2, cy + 2 * s), 8: (cx, cy),
+        9: (cx - 12 * s, cy), 10: (cx - 14 * s + sway, cy + 40 * s),
+        11: (cx - 15 * s + sway, cy + 80 * s), 12: (cx + 12 * s, cy),
+        13: (cx + 14 * s - sway, cy + 40 * s),
+        14: (cx + 15 * s - sway, cy + 80 * s),
+        15: (cx - 15 * s + sway, cy + 88 * s),
+        16: (cx + 15 * s - sway, cy + 88 * s),
+        17: (cx - 34 * s + sway / 2, cy + 8 * s),
+        18: (cx + 34 * s - sway / 2, cy + 8 * s),
     }
     for k, (x, y) in pts.items():
         j[k] = (x, y, 0.95)
@@ -60,14 +68,15 @@ def _scene(rng):
     return (img * 255).astype(np.float32)
 
 
-def _draw_person(img, pose):
-    """Capsule limbs + joint dots, distinct colors."""
+def _draw_person(img, pose, color_seed=5, limb_r=7.0):
+    """Capsule limbs + joint dots, distinct colors.  ``color_seed``
+    picks the subject's clothing palette, ``limb_r`` their build."""
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
     edges = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (6, 7),
              (1, 8), (8, 9), (9, 10), (10, 11), (8, 12), (12, 13),
              (13, 14), (11, 15), (14, 16), (4, 17), (7, 18)]
     out = img.copy()
-    rngc = np.random.default_rng(5)
+    rngc = np.random.default_rng(color_seed)
     for a, b in edges:
         ax, ay = pose[a, 0], pose[a, 1]
         bx, by = pose[b, 0], pose[b, 1]
@@ -76,10 +85,22 @@ def _draw_person(img, pose):
         L2 = dx * dx + dy * dy + 1e-6
         tt = np.clip((px * dx + py * dy) / L2, 0, 1)
         d2 = (px - tt * dx) ** 2 + (py - tt * dy) ** 2
-        m = d2 < 7 ** 2
+        m = d2 < limb_r ** 2
         color = rngc.uniform(40, 255, 3)
         out[m] = color
     return out
+
+
+# per-clip subject specs: (pose scale, center y, sway, palette, build).
+# test_a is a HELD-OUT subject — the pose head never sees its body
+# proportions or clothing during training
+SUBJECTS = {
+    "clip_a": (1.0, 150.0, 12.0, 5, 7.0),
+    "clip_b": (0.8, 130.0, 16.0, 11, 5.5),
+    "clip_c": (1.2, 170.0, 8.0, 23, 8.5),
+    "clip_d": (0.9, 200.0, 20.0, 37, 6.0),
+    "test_a": (1.1, 160.0, 10.0, 47, 7.5),
+}
 
 
 def _png(arr):
@@ -97,6 +118,8 @@ def build_h5(path):
     with h5py.File(path, "w") as f:
         for vid, n, prefix in (("clip_a", N_TRAIN, "train"),
                                ("clip_b", N_TRAIN, "train"),
+                               ("clip_c", N_TRAIN, "train"),
+                               ("clip_d", N_TRAIN, "train"),
                                ("test_a", N_TEST, "gt")):
             scene = _scene(rng)
             grp = f.create_group(vid)
@@ -104,13 +127,14 @@ def build_h5(path):
             imgs = grp.create_dataset(f"{prefix}_images", (n,), dtype=dt)
             dains = grp.create_dataset(f"{prefix}_dain", (n,), dtype=dt)
             poses = np.zeros((n, 19, 3), np.float64)
+            scale, cy0, sway, cseed, limb_r = SUBJECTS[vid]
             for i in range(n):
                 t = i / (n - 1)
                 shift = int(8 * t)
                 back = np.roll(scene, shift, axis=1)
-                pose = _pose(t)
+                pose = _pose(t, scale, cy0, sway)
                 poses[i] = pose
-                imgs[i] = _png(_draw_person(back, pose))
+                imgs[i] = _png(_draw_person(back, pose, cseed, limb_r))
                 # DAIN background: slightly blurred/rolled, NO person
                 dains[i] = _png(np.roll(back, 1, axis=1))
             grp.create_dataset(f"{prefix}_poses", data=poses)
@@ -136,7 +160,8 @@ def main(steps=500):
     print("h5 built")
     cfg = RendererConfig(compute_dtype="bfloat16")
     cfg = dataclasses.replace(cfg, data=dataclasses.replace(
-        cfg.data, train_video_list=["clip_a", "clip_b"],
+        cfg.data, train_video_list=["clip_a", "clip_b", "clip_c",
+                                    "clip_d"],
         test_video_list=["test_a"]))
     d = cfg.data
     reader = HsmReader(h5, d.train_video_list, "train", d.max_frames)
@@ -146,6 +171,22 @@ def main(steps=500):
     step = make_gan_train_step(
         gen, dis, txs, cfg, PerceptualLoss(compute_dtype="bfloat16"),
         data_cfg=d, fused_raster=True)
+
+    # mid-run checkpoint/resume (VERDICT r3 #5: long-run stability):
+    # at steps/2 the state is orbax-saved, dropped, restored into a
+    # fresh skeleton and training continues from the restored pytree
+    from renderloom.core import checkpoint as ckpt
+    ckpt_dir = "/tmp/demo_gan_ckpt"
+    resume_at = max(steps // 2, 1)
+    resumed = False
+
+    # curriculum (reference train.py:109-110): the training window
+    # grows by one frame per update_frame_step "epochs"; compressed
+    # here to thirds of the run so the demo exercises the reshape +
+    # recompile path the real CLI takes
+    max_frames = d.max_frames
+    bumps = sorted({steps // 3: d.max_frames + 1,
+                    2 * steps // 3: d.max_frames + 2}.items())
 
     rng = np.random.default_rng(0)
     n = 0
@@ -161,8 +202,25 @@ def main(steps=500):
                     "g_total": round(float(metrics["g/total"]), 3),
                     "d_total": round(float(metrics["d/total"]), 3),
                     "notfinite_g": float(metrics["notfinite/g"]),
+                    "window": max_frames,
                     "wall_s": round(time.perf_counter() - tic, 1)}),
                     flush=True)
+            if not resumed and n >= resume_at:
+                ckpt.save_checkpoint(ckpt_dir, n, state)
+                skeleton = jax.device_get(state)
+                state = ckpt.restore_checkpoint(ckpt_dir,
+                                                target=skeleton)
+                state = jax.device_put(state)
+                resumed = True
+                print(json.dumps({"resumed_at": n}), flush=True)
+                break                   # re-enter with a fresh iterator
+            want = [f for s, f in bumps if n >= s and f > max_frames]
+            if want:
+                max_frames = want[-1]
+                reader.set_max_frames(max_frames)
+                print(json.dumps({"curriculum_window": max_frames}),
+                      flush=True)
+                break                   # new window length => new shapes
             if n >= steps:
                 break
 

@@ -51,12 +51,19 @@ def main():
         print(f"max|diff| {k}: {d:.3e} (tol {tol[k]:g})")
         assert d <= tol[k], k
 
+    # chained-carry timing with a device-side scalar fetch at the end:
+    # block_until_ready does not reliably await completion through the
+    # axon tunnel (CLAUDE.md) — the carry forces serialization and the
+    # float() is the hard sync
     def bench(fn, n=20):
-        jax.block_until_ready(fn(coords, conf))
+        c = coords
+        out = fn(c, conf)
+        float(out["mask"].sum())                      # warm + sync
         tic = time.perf_counter()
         for _ in range(n):
-            out = fn(coords, conf)
-        jax.block_until_ready(out)
+            c = c + out["mask"][0, 0, 0] * 1e-20      # data dependency
+            out = fn(c, conf)
+        float(out["mask"].sum())
         return (time.perf_counter() - tic) / n * 1e3
 
     t_jnp = bench(jnp_path)
@@ -66,6 +73,43 @@ def main():
         "pallas_ms_per_16_frames": round(t_pal, 3),
         "speedup": round(t_jnp / t_pal, 2),
     }))
+
+    # ---- layout x tile_h x dtype sweep (VERDICT r3 #4: the 42 ms
+    # label-prep stage) — all three label layouts at several row-tile
+    # sizes; nhwc/packed also checked exact vs the assembled jnp label
+    lbl_ref = jnp.concatenate(
+        [jnp.transpose(a["skeleton"], (0, 2, 3, 1)) * 2.0 - 1.0,
+         jnp.transpose(a["heatmaps"], (0, 2, 3, 1))], axis=-1)
+    rows = []
+    for layout in ("cfhw", "nhwc", "packed"):
+        for th in (32, 64, 160, 320):
+            for dt in (jnp.float32, jnp.bfloat16):
+                fn = jax.jit(lambda c, cf, lay=layout, t=th, d=dt:
+                             rasterize_frames_fused(
+                                 None, c, cf, H, W, train=False,
+                                 tile_h=t, out_dtype=d, layout=lay))
+                try:
+                    out = fn(coords, conf)
+                    if layout != "cfhw" and dt == jnp.float32:
+                        got = out["label"]
+                        if layout == "packed":
+                            from renderloom.models.fastpath import \
+                                depth_to_space
+                            got = depth_to_space(got)
+                        err = float(jnp.abs(got - lbl_ref).max())
+                        assert err <= 5e-3, (layout, th, err)
+                    ms = bench(fn)
+                except Exception as e:                # noqa: BLE001
+                    rows.append({"layout": layout, "tile_h": th,
+                                 "dtype": dt.__name__,
+                                 "error": repr(e)[:120]})
+                    continue
+                rows.append({"layout": layout, "tile_h": th,
+                             "dtype": dt.__name__,
+                             "ms_per_16f": round(ms, 3)})
+                print(json.dumps(rows[-1]), flush=True)
+    with open("/tmp/raster_sweep.json", "w") as f:
+        json.dump(rows, f, indent=1)
 
 
 if __name__ == "__main__":

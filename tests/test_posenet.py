@@ -75,6 +75,38 @@ def test_training_smoke_keypoint_error_shrinks():
     assert err1 < 6.0, err1   # within ~1.5 heatmap cells
 
 
+def test_random_erase_occludes_and_varies():
+    from renderloom.train.pose import random_erase
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.uniform(0, 1, (3, 32, 48, 3)), jnp.float32)
+    out = random_erase(jax.random.PRNGKey(0), imgs, count=2, rate=1.0,
+                       frac=0.4)
+    changed = np.mean(np.any(np.asarray(out) != np.asarray(imgs), -1),
+                      axis=(1, 2))
+    assert np.all(changed > 0.005), changed       # boxes really drawn
+    assert np.all(changed < 0.6), changed         # ...but bounded
+    # occluded pixels are flat per image (single fill color per box)
+    out2 = random_erase(jax.random.PRNGKey(7), imgs, count=2, rate=1.0,
+                        frac=0.4)
+    assert np.any(np.asarray(out2) != np.asarray(out))  # key-dependent
+    # rate=0 is the identity
+    same = random_erase(jax.random.PRNGKey(0), imgs, count=2, rate=0.0,
+                        frac=0.4)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(imgs))
+
+
+def test_training_step_with_occlusion_aug_runs():
+    import dataclasses
+    cfg = dataclasses.replace(small_cfg(), occlude_rate=0.7)
+    model, tx, state = create_pose_state(jax.random.PRNGKey(0), cfg,
+                                         H, W)
+    step = make_pose_train_step(model, tx, cfg)
+    rng = np.random.default_rng(0)
+    for _ in range(2):
+        state, metrics = step(state, _blob_batch(rng, cfg.batch_size))
+    assert np.isfinite(float(metrics["loss/total"]))
+
+
 def test_extract_openpose_roundtrip(tmp_path):
     """extract_pose JSONs must parse through the framework's own
     openpose reader (the AlphaPose ingestion contract)."""
