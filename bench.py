@@ -197,7 +197,8 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
                              fused_raster=fused_raster,
                              label_dtype=jnp.bfloat16 if on_tpu
                              else None,
-                             packed_label=packed_label)
+                             packed_label=packed_label,
+                             want_masks=False)
         return {"label": prep["label"], "back": prep["back"],
                 "key_img": prep["image"], "is_key": is_key}
 

@@ -235,7 +235,7 @@ def prepare_window(key: Optional[jax.Array], images: jax.Array,
 def prepare_batch(key: Optional[jax.Array], batch: Dict[str, jax.Array],
                   cfg: RendererDataConfig, train: bool = True,
                   fused_raster: bool = False, label_dtype=None,
-                  packed_label: bool = False):
+                  packed_label: bool = False, want_masks: bool = True):
     """Batched window preparation.
 
     ``fused_raster=False``: straight vmap of :func:`prepare_window`.
@@ -250,6 +250,9 @@ def prepare_batch(key: Optional[jax.Array], batch: Dict[str, jax.Array],
     ``packed_label``: emit the label parity-packed, (B,F,H/2,W/2,88) =
     ``fastpath.space_to_depth`` per frame — the parity-layout inference
     generator consumes it with zero input repacking.
+    ``want_masks=False`` (inference serving only, ``train=False``):
+    drop ``fg_mask`` from the output — on the fused path the kernel
+    then skips the 39 mask capsules per pixel entirely.
     """
     B = batch["images"].shape[0]
     if not fused_raster:
@@ -272,6 +275,8 @@ def prepare_batch(key: Optional[jax.Array], batch: Dict[str, jax.Array],
             out = dict(out, label=space_to_depth(
                 lbl.reshape((Bb * F,) + lbl.shape[2:])
             ).reshape((Bb, F, lbl.shape[2] // 2, lbl.shape[3] // 2, 88)))
+        if not want_masks and not train:
+            out = {k: v for k, v in out.items() if k != "fg_mask"}
         return out
 
     from renderloom.ops.rasterize_pallas import rasterize_frames_fused
@@ -311,6 +316,7 @@ def prepare_batch(key: Optional[jax.Array], batch: Dict[str, jax.Array],
             lambda i, d, p: warp_window(None, i, d, p))(images, dain,
                                                         poses)
 
+    emit_masks = want_masks or (train and key is not None)
     ras = rasterize_frames_fused(
         k_ras, coords.reshape(B * F, -1, 2), conf.reshape(B * F, -1),
         H, W, gauss_sigma=cfg.gauss_sigma,
@@ -318,13 +324,13 @@ def prepare_batch(key: Optional[jax.Array], batch: Dict[str, jax.Array],
         random_blur_rate=cfg.random_blur_rate, thres=cfg.skeleton_thres,
         foot_thres=cfg.foot_thres, train=train and key is not None,
         out_dtype=label_dtype or jnp.float32,
-        layout="packed" if packed_label else "nhwc")
+        layout="packed" if packed_label else "nhwc",
+        emit_masks=emit_masks)
 
     if packed_label:
         label = ras["label"].reshape(B, F, H // 2, W // 2, 88)
     else:
         label = ras["label"].reshape(B, F, H, W, 22)
-    fg_mask = ras["mask"].reshape(B, F, H, W, 1)
 
     back = dain_t
     if train and k_blur is not None:
@@ -337,5 +343,7 @@ def prepare_batch(key: Optional[jax.Array], batch: Dict[str, jax.Array],
     back = back.at[:, 0].set(
         jnp.where(zero0[:, None, None, None], 0.0, back[:, 0]))
 
-    return {"label": label, "image": images_t, "back": back,
-            "fg_mask": fg_mask}
+    out = {"label": label, "image": images_t, "back": back}
+    if want_masks:                   # emit_masks is then always True
+        out["fg_mask"] = ras["mask"].reshape(B, F, H, W, 1)
+    return out

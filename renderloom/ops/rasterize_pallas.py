@@ -193,24 +193,29 @@ def _label_tiles(xs, ys, joints_ref, skel_ref, brush: float):
     return skel + _heat_tiles(xs, ys, joints_ref)
 
 
-def _kernel_nhwc(joints_ref, skel_ref, caps_ref, label_ref, mask_ref,
-                 part_ref, *, tile_h: int, width: int, brush: float):
+def _kernel_nhwc(joints_ref, skel_ref, caps_ref, label_ref,
+                 mask_ref=None, part_ref=None, *, tile_h: int,
+                 width: int, brush: float):
     """NHWC layout: the assembled (F,H,W,22) label written once — the
     downstream consumers are all NHWC, so emitting it directly deletes
     the two full-stream transposes + concat the channel-major layout
     paid in prepare_batch (~3 extra HBM round-trips of the pipeline's
-    biggest tensor)."""
+    biggest tensor).  ``mask_ref is None`` (inference serving): the 39
+    mask capsules — over half the kernel's per-pixel work — are never
+    evaluated."""
     h0 = (pl.program_id(1) * tile_h).astype(jnp.float32)
     ys, xs = _grids((tile_h, width), h0)
     tiles = _label_tiles(xs, ys, joints_ref, skel_ref, brush)
     label_ref[0] = jnp.stack(tiles, axis=-1).astype(label_ref.dtype)
-    macc, pacc = _mask_tiles(xs, ys, caps_ref)
-    mask_ref[0] = macc
-    part_ref[0] = pacc
+    if mask_ref is not None:
+        macc, pacc = _mask_tiles(xs, ys, caps_ref)
+        mask_ref[0] = macc
+        part_ref[0] = pacc
 
 
-def _kernel_packed(joints_ref, skel_ref, caps_ref, label_ref, mask_ref,
-                   part_ref, *, tile_h: int, width: int, brush: float):
+def _kernel_packed(joints_ref, skel_ref, caps_ref, label_ref,
+                   mask_ref=None, part_ref=None, *, tile_h: int,
+                   width: int, brush: float):
     """Parity-packed layout: label (F,H/2,W/2,88) with channel index
     (row_parity·2 + col_parity)·22 + c — exactly
     ``fastpath.space_to_depth`` of the NHWC label, so the parity-layout
@@ -225,10 +230,11 @@ def _kernel_packed(joints_ref, skel_ref, caps_ref, label_ref, mask_ref,
             ys, xs = _grids((th_p, w_p), h0, scale=2, oy=a, ox=b)
             tiles += _label_tiles(xs, ys, joints_ref, skel_ref, brush)
     label_ref[0] = jnp.stack(tiles, axis=-1).astype(label_ref.dtype)
-    ysf, xsf = _grids((tile_h, width), h0)
-    macc, pacc = _mask_tiles(xsf, ysf, caps_ref)
-    mask_ref[0] = macc
-    part_ref[0] = pacc
+    if mask_ref is not None:
+        ysf, xsf = _grids((tile_h, width), h0)
+        macc, pacc = _mask_tiles(xsf, ysf, caps_ref)
+        mask_ref[0] = macc
+        part_ref[0] = pacc
 
 
 def rasterize_frames_fused(key: Optional[jax.Array], coords: jax.Array,
@@ -242,11 +248,14 @@ def rasterize_frames_fused(key: Optional[jax.Array], coords: jax.Array,
                            tile_h: Optional[int] = None,
                            interpret: bool = False,
                            out_dtype=jnp.float32,
-                           layout: str = "cfhw"):
+                           layout: str = "cfhw",
+                           emit_masks: bool = True):
     """Pallas-fused equivalent of :func:`rasterize.rasterize_frames`.
 
     coords (F, J, 2), conf (F, J) → dict; ``layout`` picks the label
-    output form (masks are always (F,H,W) f32 0/1):
+    output form (masks are (F,H,W) f32 0/1 — ``emit_masks=False``
+    drops them AND their 39 capsule evaluations per pixel, the right
+    call for serving where only the label is consumed):
 
     * ``"cfhw"``  — heatmaps (F,19,H,W) + skeleton (F,3,H,W) coverage
       colors in [0,1], both ``out_dtype`` (the rasterize.py-compatible
@@ -302,16 +311,18 @@ def rasterize_frames_fused(key: Optional[jax.Array], coords: jax.Array,
     param_spec = lambda rows, cols: pl.BlockSpec(
         (1, rows, cols), lambda f, t: (f, 0, 0),
         memory_space=pltpu.VMEM)
+    assert emit_masks or layout != "cfhw", \
+        "cfhw is the rasterize.py-compatible form; masks are part of it"
     mask_specs = [
         pl.BlockSpec((1, tile_h, width), lambda f, t: (f, t, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile_h, width), lambda f, t: (f, t, 0),
                      memory_space=pltpu.VMEM),
-    ]
+    ] if emit_masks else []
     mask_shapes = [
         jax.ShapeDtypeStruct((F, height, width), jnp.float32),
         jax.ShapeDtypeStruct((F, height, width), jnp.float32),
-    ]
+    ] if emit_masks else []
     if layout == "cfhw":
         kfn = _kernel
         out_specs = [
@@ -363,5 +374,7 @@ def rasterize_frames_fused(key: Optional[jax.Array], coords: jax.Array,
         heat, skimg, mask, part = outs
         return {"heatmaps": heat, "skeleton": skimg, "mask": mask,
                 "part_mask": part}
+    if not emit_masks:
+        return {"label": outs[0]}
     label, mask, part = outs
     return {"label": label, "mask": mask, "part_mask": part}

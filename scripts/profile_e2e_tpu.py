@@ -111,7 +111,8 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
                              fused_raster=fused_raster,
                              label_dtype=jnp.bfloat16 if on_tpu
                              else None,
-                             packed_label=packed_label)
+                             packed_label=packed_label,
+                             want_masks=False)
         batch = {"label": prep["label"], "back": prep["back"],
                  "key_img": prep["image"], "is_key": is_key}
         return batch, jnp.sum(prep["label"]) * 1e-20
@@ -142,7 +143,8 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
                              fused_raster=fused_raster,
                              label_dtype=jnp.bfloat16 if on_tpu
                              else None,
-                             packed_label=packed_label)
+                             packed_label=packed_label,
+                             want_masks=False)
         b = {"label": prep["label"], "back": prep["back"],
              "key_img": prep["image"], "is_key": is_key}
         fused, _ = rollout(g_params, {}, b)

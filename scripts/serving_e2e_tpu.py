@@ -94,7 +94,8 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
                              fused_raster=fused_raster,
                              label_dtype=jnp.bfloat16 if on_tpu
                              else None,
-                             packed_label=packed_label)
+                             packed_label=packed_label,
+                             want_masks=False)
         # the 22ch label is the biggest live tensor (1.56 GB fp32 at 4
         # clips): the raster kernel now EMITS it bf16 (label_dtype
         # above) — the generator's first conv casts to bf16 anyway, and

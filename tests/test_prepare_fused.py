@@ -42,6 +42,25 @@ def test_fused_prepare_matches_eval_path():
                                np.asarray(plain["fg_mask"]), atol=1e-5)
 
 
+def test_prepare_packed_and_maskless_serving_form():
+    # the serving prep form: packed label, no fg_mask — label must be
+    # the space_to_depth of the standard fused label on both paths
+    from renderloom.models.fastpath import space_to_depth
+    batch = _batch()
+    full = prepare_batch(None, batch, CFG, train=False,
+                         fused_raster=True)
+    want = np.asarray(space_to_depth(
+        full["label"].reshape((-1,) + full["label"].shape[2:])
+    ).reshape((2, 3, 32, 48, 88)))
+    for fused in (True, False):
+        slim = prepare_batch(None, batch, CFG, train=False,
+                             fused_raster=fused, packed_label=True,
+                             want_masks=False)
+        assert "fg_mask" not in slim
+        np.testing.assert_allclose(np.asarray(slim["label"]), want,
+                                   atol=1e-5)
+
+
 def test_fused_prepare_train_runs():
     batch = _batch(1, 3)
     out = prepare_batch(jax.random.PRNGKey(0), batch, CFG, train=True,

@@ -119,6 +119,22 @@ def test_packed_layout_is_s2d_of_nhwc():
                                   np.asarray(nhwc["mask"]))
 
 
+def test_no_mask_emission_same_label():
+    # emit_masks=False (serving): label identical, masks absent
+    coords, conf = _random_frames(2, seed=8)
+    for layout in ("nhwc", "packed"):
+        full = rasterize_frames_fused(None, coords, conf, H, W,
+                                      train=False, tile_h=32,
+                                      interpret=True, layout=layout)
+        slim = rasterize_frames_fused(None, coords, conf, H, W,
+                                      train=False, tile_h=32,
+                                      interpret=True, layout=layout,
+                                      emit_masks=False)
+        assert set(slim) == {"label"}
+        np.testing.assert_array_equal(np.asarray(slim["label"]),
+                                      np.asarray(full["label"]))
+
+
 def test_packed_train_path_matches_jnp():
     # the train-path RNG tables are shared, so the packed label must be
     # s2d of the jnp path's assembled label under the same key
