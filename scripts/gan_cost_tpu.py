@@ -62,32 +62,43 @@ def main(reps: int = 4):
                         ).astype(np.float32),
         })
 
-        # cost analysis from the compiled executable
-        try:
-            lowered = step.lower(state, batch)
-            compiled = lowered.compile()
-            ca = compiled.cost_analysis()
-            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-            tflop = ca.get("flops", 0.0) / 1e12
-            gb = ca.get("bytes accessed", 0.0) / 1e9
-        except Exception as e:  # cost analysis is best-effort
-            print(f"cost_analysis failed: {e}")
-            tflop = gb = float("nan")
+        # cost analysis from the compiled executable.  Retry once: the
+        # round-3 B=16 row died on a transient remote-compiler 500 and
+        # was never resolved (VERDICT r3 #6) — with the persistent
+        # compile cache a second attempt is nearly free.
+        tflop = gb = float("nan")
+        for attempt in range(2):
+            try:
+                lowered = step.lower(state, batch)
+                compiled = lowered.compile()
+                ca = compiled.cost_analysis()
+                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                tflop = ca.get("flops", 0.0) / 1e12
+                gb = ca.get("bytes accessed", 0.0) / 1e9
+                break
+            except Exception as e:  # cost analysis is best-effort
+                print(f"cost_analysis attempt {attempt}: "
+                      f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+                time.sleep(20)
 
-        try:
-            for _ in range(1):
+        sec = wps = float("nan")
+        for attempt in range(2):
+            try:
                 state, metrics = step(state, batch)
-            float(metrics["g/total"])
-            tic = time.perf_counter()
-            for _ in range(reps):
-                state, metrics = step(state, batch)
-            float(metrics["g/total"])
-            sec = (time.perf_counter() - tic) / reps
-            wps = B / sec
-        except Exception as e:   # OOM at this config
-            print(f"B={B} remat={remat}: {type(e).__name__}: "
-                  f"{str(e)[:200]}")
-            sec = wps = float("nan")
+                float(metrics["g/total"])
+                tic = time.perf_counter()
+                for _ in range(reps):
+                    state, metrics = step(state, batch)
+                float(metrics["g/total"])
+                sec = (time.perf_counter() - tic) / reps
+                wps = B / sec
+                break
+            except Exception as e:   # OOM / transient compiler error
+                print(f"B={B} remat={remat} attempt {attempt}: "
+                      f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+                if "RESOURCE_EXHAUSTED" in str(e):
+                    break             # OOM is deterministic — record it
+                time.sleep(20)
 
         row = {"batch": B, "remat": remat, "tflop_per_step": round(tflop, 2),
                "hbm_gb_per_step": round(gb, 1),
