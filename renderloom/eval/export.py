@@ -1,0 +1,95 @@
+"""Ahead-of-time serving export: serialize the one-program pipeline
+(`eval.pipeline`) to a self-contained StableHLO artifact.
+
+Production deployment wants the serving program frozen — no Python
+tracing, no flax, no config parsing at load time, and a stable
+artifact that survives framework upgrades (StableHLO carries jax's
+forward-compatibility guarantees).  `jax.export` embeds the trained
+weights as constants, so one file is the whole servable; the TPU
+program can be exported from a CPU-only build host (Mosaic/XLA lower
+cross-platform) and shipped to the fleet.
+
+The reference has no counterpart — serving it means installing three
+repos + torch + CUDA ops and re-running Python per clip
+(`README.md:12-48`).  Artifact layout: a single file, ``RLXP1`` magic,
+a length-prefixed JSON meta header (shapes, rate, platforms), then the
+serialized `jax.export.Exported` bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any, Callable, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+_MAGIC = b"RLXP1\n"
+
+
+def export_pipeline(fn: Callable, m_params, g_params, n_clips: int,
+                    keyframes: int, height: int, width: int,
+                    rate: int, platforms: Sequence[str]
+                    ) -> Tuple[jexport.Exported, Dict[str, Any]]:
+    """Freeze ``fn`` (a :func:`eval.pipeline.make_pipeline_fn` callable)
+    over its weights and export it for ``platforms``.
+
+    The exported signature is ``(motion, conf, keys) -> (fused, sync)``
+    at the static serving shape (N=``n_clips`` clips of K=``keyframes``
+    keyframes) — static shapes are what lets XLA tile the program onto
+    the MXU, and the batched-serving planner (`utils.serving`) already
+    schedules requests as multisets of fixed program sizes.
+    """
+    serve = jax.jit(lambda motion, conf, keys:
+                    fn(m_params, g_params, motion, conf, keys))
+    specs = (
+        jax.ShapeDtypeStruct((n_clips, 19, 2, keyframes), jnp.float32),
+        jax.ShapeDtypeStruct((n_clips, 19, 1, keyframes), jnp.float32),
+        jax.ShapeDtypeStruct((n_clips, keyframes, height, width, 3),
+                             jnp.float32),
+    )
+    exported = jexport.export(serve, platforms=list(platforms))(*specs)
+    L = (keyframes - 1) * rate + 1
+    meta = {"format": "renderloom-pipeline", "version": 1,
+            "n_clips": n_clips, "keyframes": keyframes, "rate": rate,
+            "frames_out": L, "height": height, "width": width,
+            "platforms": list(platforms),
+            "inputs": {"motion": [n_clips, 19, 2, keyframes],
+                       "conf": [n_clips, 19, 1, keyframes],
+                       "keys": [n_clips, keyframes, height, width, 3]},
+            "output": [n_clips, L, height, width, 3]}
+    return exported, meta
+
+
+def save_exported(path: str, exported: jexport.Exported,
+                  meta: Dict[str, Any]) -> int:
+    """Write the single-file artifact; returns bytes written."""
+    header = json.dumps(meta).encode("utf-8")
+    payload = bytes(exported.serialize())
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(header)))
+        f.write(header)
+        f.write(payload)
+    return len(_MAGIC) + 4 + len(header) + len(payload)
+
+
+def load_exported(path: str) -> Tuple[Callable, Dict[str, Any]]:
+    """Load an artifact → ``(serve, meta)``.
+
+    ``serve(motion, conf, keys) -> (fused, sync)`` runs the frozen
+    program on the current backend (which must be one of
+    ``meta['platforms']``) — no renderloom model code, configs, or
+    checkpoints are touched.
+    """
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not a renderloom export "
+                             f"(magic {magic!r})")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        meta = json.loads(f.read(hlen).decode("utf-8"))
+        exported = jexport.deserialize(bytearray(f.read()))
+    return exported.call, meta

@@ -1,0 +1,129 @@
+"""Serving-export round trip: freeze the one-program pipeline
+(`eval.pipeline` → `eval.export`) to a StableHLO artifact, reload it,
+and check the frozen program reproduces the live pipeline bit-for-bit.
+
+The reference has no deployable serving form (three repos + torch +
+CUDA re-run Python per clip); this is the renderloom-only capability
+the export CLI provides, so the test is the whole contract: same
+outputs, self-contained file, CLI produces it.
+"""
+
+import numpy as np
+import pytest
+
+H, W = 64, 96
+RATE = 2
+K = 3  # keyframes per clip -> L = 5 output frames
+
+
+@pytest.fixture(scope="module")
+def tiny_cfgs():
+    from renderloom.core.config import (DiscriminatorConfig, EmbedConfig,
+                                        GeneratorConfig, MaskNetConfig,
+                                        MotionConfig, MotionDatasetConfig,
+                                        PatchDiscConfig, PosEncodeConfig,
+                                        RendererConfig, RendererDataConfig,
+                                        TransformerConfig)
+    mcfg = MotionConfig(
+        transformer=TransformerConfig(hidden_dim=32, nheads=4,
+                                      dim_feedforward=64, enc_layers=2,
+                                      dec_layers=2, dropout=0.0),
+        pos_encode=PosEncodeConfig(hidden_dim=32),
+        dataset=MotionDatasetConfig(max_seq_length=33,
+                                    train_sample_rate=8,
+                                    train_sample_size=8, noise_rate=2,
+                                    joint_drop_rate=2, flip_rate=1))
+    rcfg = RendererConfig(
+        gen=GeneratorConfig(
+            num_filters=4, max_num_filters=16, num_layers=6,
+            num_downsamples=4, do_checkpoint=False,
+            mask=MaskNetConfig(num_filters=4, max_num_filters=16,
+                               num_downsamples=3, num_res_blocks=1),
+            embed=EmbedConfig(num_filters=4, max_num_filters=16,
+                              num_downsamples=4)),
+        dis=DiscriminatorConfig(
+            image=PatchDiscConfig(num_filters=4, max_num_filters=16,
+                                  num_discriminators=1, num_layers=2),
+            use_face=False, use_hand=False),
+        data=RendererDataConfig(model_width=W, model_height=H,
+                                load_width=W, load_height=H))
+    return mcfg, rcfg
+
+
+@pytest.fixture(scope="module")
+def built(tiny_cfgs):
+    from renderloom.eval.pipeline import build_pipeline
+    mcfg, rcfg = tiny_cfgs
+    fn, m_params, folded_g = build_pipeline(mcfg, rcfg, RATE, K,
+                                            platform="cpu")
+    return fn, m_params, folded_g
+
+
+def _inputs(n_clips, seed=7):
+    rng = np.random.default_rng(seed)
+    motion = rng.uniform(-0.5, 0.5,
+                         (n_clips, 19, 2, K)).astype(np.float32)
+    conf = rng.uniform(0.5, 1.0, (n_clips, 19, 1, K)).astype(np.float32)
+    keys = rng.uniform(0.0, 1.0,
+                       (n_clips, K, H, W, 3)).astype(np.float32)
+    return motion, conf, keys
+
+
+def test_export_round_trip(built, tmp_path):
+    from renderloom.eval.export import (export_pipeline, load_exported,
+                                        save_exported)
+    fn, m_params, folded_g = built
+    motion, conf, keys = _inputs(1)
+    fused_live, _ = fn(m_params, folded_g, motion, conf, keys)
+    fused_live = np.asarray(fused_live)
+    L = (K - 1) * RATE + 1
+    assert fused_live.shape == (1, L, H, W, 3)
+
+    exported, meta = export_pipeline(fn, m_params, folded_g, 1, K, H, W,
+                                     RATE, ["cpu"])
+    assert meta["frames_out"] == L
+    path = str(tmp_path / "pipe.rlx")
+    nbytes = save_exported(path, exported, meta)
+    import os
+    assert nbytes == os.path.getsize(path)
+
+    serve, meta2 = load_exported(path)
+    assert meta2 == meta
+    fused_frozen, sync = serve(motion, conf, keys)
+    np.testing.assert_allclose(np.asarray(fused_frozen), fused_live,
+                               rtol=0, atol=1e-5)
+    assert np.isfinite(float(sync))
+
+
+def test_export_bad_magic(tmp_path):
+    from renderloom.eval.export import load_exported
+    p = tmp_path / "junk.rlx"
+    p.write_bytes(b"NOTANEXPORT")
+    with pytest.raises(ValueError, match="not a renderloom export"):
+        load_exported(str(p))
+
+
+def test_export_cli(tiny_cfgs, tmp_path):
+    import dataclasses
+
+    import yaml
+
+    from renderloom.cli.export_model import main
+    from renderloom.eval.export import load_exported
+
+    mcfg, rcfg = tiny_cfgs
+    m_yaml, r_yaml = str(tmp_path / "m.yaml"), str(tmp_path / "r.yaml")
+    with open(m_yaml, "w") as f:
+        yaml.safe_dump(dataclasses.asdict(mcfg), f)
+    with open(r_yaml, "w") as f:
+        yaml.safe_dump(dataclasses.asdict(rcfg), f)
+    out = str(tmp_path / "cli.rlx")
+    main(["--motion-config", m_yaml, "--renderer-config", r_yaml,
+          "--rate", str(RATE), "--keyframes", str(K), "--clips", "2",
+          "--platform", "cpu", "--out", out])
+    serve, meta = load_exported(out)
+    assert meta["n_clips"] == 2 and meta["trained"] is False
+    motion, conf, keys = _inputs(2)
+    fused, _ = serve(motion, conf, keys)
+    assert np.asarray(fused).shape == (2, meta["frames_out"], H, W, 3)
+    assert np.isfinite(np.asarray(fused)).all()
