@@ -23,12 +23,14 @@ from renderloom.core.cache import enable_compile_cache
 
 def bench(fn, x, reps=30):
     jf = jax.jit(fn)
-    carry = jf(x)
-    carry = jf(x + carry)
+    # keep the chained carry in x's dtype: a fp32 scalar would promote
+    # the bf16 input and silently retime the fp32 variant
+    carry = jf(x).astype(x.dtype)
+    carry = jf(x + carry).astype(x.dtype)
     float(carry)
     tic = time.perf_counter()
     for _ in range(reps):
-        carry = jf(x + carry)
+        carry = jf(x + carry).astype(x.dtype)
     float(carry)
     return (time.perf_counter() - tic) / reps * 1e3
 

@@ -68,12 +68,14 @@ def main(B: int = 7, reps: int = 30):
 
     def bench(fn, x):
         jf = jax.jit(fn)
-        carry = jf(x)
-        carry = jf(x + carry)
+        # keep the chained carry in x's dtype: a fp32 scalar would
+        # promote the bf16 input and retrace with mismatched dtypes
+        carry = jf(x).astype(x.dtype)
+        carry = jf(x + carry).astype(x.dtype)
         float(carry)
         tic = time.perf_counter()
         for _ in range(reps):
-            carry = jf(x + carry)
+            carry = jf(x + carry).astype(x.dtype)
         float(carry)
         return (time.perf_counter() - tic) / reps * 1e3
 
