@@ -244,6 +244,12 @@ def _pallas_norm_compiles() -> bool:
             for dt in (jnp.float32, jnp.bfloat16):
                 jax.block_until_ready(
                     instance_norm_fused(jnp.ones((1, 16, 16, 8), dt)))
+                # the parity reduction lowers differently (lane
+                # rotations) — probe it too: round-3's non-parity-only
+                # probe let a parity Mosaic failure crash inference
+                jax.block_until_ready(
+                    instance_norm_fused(jnp.ones((1, 16, 16, 16), dt),
+                                        parity=True))
             _PALLAS_NORM_OK = True
         except Exception:                # Mosaic/XLA compiler errors
             _PALLAS_NORM_OK = False
@@ -251,14 +257,20 @@ def _pallas_norm_compiles() -> bool:
 
 
 def use_pallas_norm() -> bool:
-    """Fused Pallas instance norm on TPU (exact; inference only).
-    Override with RENDERLOOM_PALLAS_NORM=0/1 (an explicit 1 skips the
-    probe — measurement sweeps want the compile error loud)."""
+    """Fused Pallas instance norm (exact; inference only) — opt-in via
+    RENDERLOOM_PALLAS_NORM=1 (an explicit 1 skips the compile probe —
+    measurement sweeps want the compile error loud).
+
+    Default OFF: on real v5e the kernel measured SLOWER than XLA's
+    fused norm at the render shapes (5.35 ms vs 2.25 ms at 7×320×480×32,
+    scripts/norm_micro_tpu.py — XLA already fuses the two reductions
+    and the normalize well), so auto-enabling on probe success would
+    pick the losing path."""
     import os
     env = os.environ.get("RENDERLOOM_PALLAS_NORM")
     if env is not None:
         return env not in ("0", "false", "")
-    return jax.default_backend() == "tpu" and _pallas_norm_compiles()
+    return False
 
 
 def _norm(h, ns, nb, parity=False, act=False):
@@ -510,13 +522,14 @@ def trunk_packed_levels() -> int:
     """How many trunk pyramid levels run in the parity-packed layout:
     level i covers blocks ``down_i``/``up_i`` (at 1/2^i resolution,
     ``num_filters·2^i`` channels — 16/32/64/... with the shipped config,
-    so levels past 0 are still below the 128 TPU lanes).  Default 1 (the
-    round-3 measured configuration: full-res stages only); sweep deeper
-    packing on hardware with RENDERLOOM_PACKED_LEVELS=2/3
-    (scripts/fastgen_tpu.py).  Capped at num_downsamples — the
+    so levels past 0 are still below the 128 TPU lanes).  Default 2 —
+    the round-4 v5e sweep (scripts/fastgen_tpu.py, BASELINE.md): full
+    generator at segment-batch 7 runs 77.8 ms packed=1, 74.8 packed=2
+    (best), 75.1 packed=3, vs 123.1 standard.  Override with
+    RENDERLOOM_PACKED_LEVELS.  Capped at num_downsamples — the
     bottleneck res blocks always run standard."""
     import os
-    return max(1, int(os.environ.get("RENDERLOOM_PACKED_LEVELS", "1")))
+    return max(1, int(os.environ.get("RENDERLOOM_PACKED_LEVELS", "2")))
 
 
 def transform_trunk_params(params: dict, gen_cfg,

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, s_ref, b_ref, out_ref, acc_ref, *, n_px: int,
             eps: float, slope: Optional[float], parity: bool,
-            affine: bool):
+            affine: bool, interpret: bool):
     p = pl.program_id(1)
     t = pl.program_id(2)
 
@@ -58,9 +58,24 @@ def _kernel(x_ref, s_ref, b_ref, out_ref, acc_ref, *, n_px: int,
         m1 = acc_ref[0:1, :] * inv_n               # (1, C)
         m2 = acc_ref[1:2, :] * inv_n
         if parity:
+            # average the four parity groups (lanes are (p·2+q)·C + c).
+            # Lane rotations by multiples of C leave every lane holding
+            # its channel's cross-parity sum — Mosaic supports rotates,
+            # while reshaping lanes into sublanes ((1,4C)→(1,4,C)) is an
+            # unsupported shape cast on real TPUs.
             C = m1.shape[1] // 4
-            m1 = jnp.tile(jnp.mean(m1.reshape(1, 4, C), axis=1), (1, 4))
-            m2 = jnp.tile(jnp.mean(m2.reshape(1, 4, C), axis=1), (1, 4))
+
+            def pavg(m):
+                if interpret:
+                    g = jnp.mean(m.reshape(1, 4, C), axis=1)
+                    return jnp.tile(g, (1, 4))
+                s = m
+                for k in (1, 2, 3):
+                    s = s + pltpu.roll(m, k * C, 1)
+                return s * 0.25
+
+            m1 = pavg(m1)
+            m2 = pavg(m2)
         var = jnp.maximum(m2 - m1 * m1, 0.0)
         y = (x - m1) * jax.lax.rsqrt(var + eps)
         if affine:
@@ -113,7 +128,8 @@ def instance_norm_fused(x: jax.Array, scale: Optional[jax.Array] = None,
     xf = x.reshape(B, n_px, C)
     grid = (B, 2, n_px // tile)
     kernel = functools.partial(_kernel, n_px=n_px, eps=eps, slope=slope,
-                               parity=parity, affine=affine)
+                               parity=parity, affine=affine,
+                               interpret=interpret)
     out = pl.pallas_call(
         kernel,
         grid=grid,

@@ -55,7 +55,7 @@ def main():
     # block_until_ready does not reliably await completion through the
     # axon tunnel (CLAUDE.md) — the carry forces serialization and the
     # float() is the hard sync
-    def bench(fn, n=20):
+    def bench(fn, n=40):
         c = coords
         out = fn(c, conf)
         float(out["mask"].sum())                      # warm + sync
@@ -81,8 +81,11 @@ def main():
         [jnp.transpose(a["skeleton"], (0, 2, 3, 1)) * 2.0 - 1.0,
          jnp.transpose(a["heatmaps"], (0, 2, 3, 1))], axis=-1)
     rows = []
+    # tile_h capped at 96: the first capture showed 160 already 4x
+    # slower than 32/64 and the 320-row configs hung the remote
+    # compiler for 28 min until the queue timeout (rc=124)
     for layout in ("cfhw", "nhwc", "packed"):
-        for th in (32, 64, 160, 320):
+        for th in (16, 32, 64, 96):
             for dt in (jnp.float32, jnp.bfloat16):
                 fn = jax.jit(lambda c, cf, lay=layout, t=th, d=dt:
                              rasterize_frames_fused(
@@ -103,6 +106,7 @@ def main():
                     rows.append({"layout": layout, "tile_h": th,
                                  "dtype": dt.__name__,
                                  "error": repr(e)[:120]})
+                    print(json.dumps(rows[-1]), flush=True)
                     continue
                 rows.append({"layout": layout, "tile_h": th,
                              "dtype": dt.__name__,
