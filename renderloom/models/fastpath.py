@@ -129,19 +129,25 @@ def instance_norm_p4(x: jax.Array, scale: Optional[jax.Array] = None,
     B, _, _, C4 = x.shape
     C = C4 // 4
     xf = x.astype(jnp.float32)
-    m1 = jnp.mean(xf, axis=(1, 2)).reshape(B, 4, C).mean(axis=1)
-    m1t = jnp.tile(m1, (1, 4))[:, None, None, :]
-    # two-pass fp32 variance centered on the parity-averaged mean
-    # (same cancellation rationale as layers.instance_norm)
-    var = jnp.mean(jax.lax.square(xf - m1t), axis=(1, 2)) \
+    # shifted one-pass fp32 moments (layers.instance_norm rationale:
+    # one-pass bandwidth, two-pass stability).  The shift must be the
+    # SAME per-(B,C) value across the 4 parity blocks for the combined
+    # moments to stay exact algebra — parity-average the row-0 means.
+    s = jax.lax.stop_gradient(
+        jnp.mean(xf[:, :1], axis=(1, 2)).reshape(B, 4, C).mean(axis=1))
+    s4 = jnp.tile(s, (1, 4))[:, None, None, :]
+    d = xf - s4
+    m1 = jnp.mean(d, axis=(1, 2)).reshape(B, 4, C).mean(axis=1)
+    m2 = jnp.mean(jax.lax.square(d), axis=(1, 2)) \
         .reshape(B, 4, C).mean(axis=1)
+    var = jnp.maximum(m2 - jax.lax.square(m1), 0.0)
     a = jnp.tile(jax.lax.rsqrt(var + eps), (1, 4))[:, None, None, :]
     if scale is not None:
         a = a * scale
-    b = -jnp.tile(m1, (1, 4))[:, None, None, :] * a
+    out = (d - jnp.tile(m1, (1, 4))[:, None, None, :]) * a
     if bias is not None:
-        b = b + bias
-    return (x.astype(jnp.float32) * a + b).astype(x.dtype)
+        out = out + bias
+    return out.astype(x.dtype)
 
 
 def _conv(x, k, b=None, padding="SAME"):
@@ -214,18 +220,10 @@ def transform_mask_params(mask_params: dict, num_downsamples: int = 3,
 
 
 def _in_std(x, ns, nb, eps=1e-5):
-    # two-pass fp32 variance, same rationale as layers.instance_norm
-    # (one-pass E[x²]−E[x]² cancels catastrophically when |mean| ≫ std)
-    xf = x.astype(jnp.float32)
-    m1 = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jax.lax.square(xf - m1), axis=(1, 2), keepdims=True)
-    a = jax.lax.rsqrt(var + eps)
-    if ns is not None:
-        a = a * ns
-    b = -m1 * a
-    if nb is not None:
-        b = b + nb
-    return (x.astype(jnp.float32) * a + b).astype(x.dtype)
+    # standard-layout instance norm — exactly layers.instance_norm
+    # (shifted one-pass fp32 moments; see its docstring)
+    from renderloom.models.layers import instance_norm
+    return instance_norm(x, eps=eps, scale=ns, bias=nb)
 
 
 _PALLAS_NORM_OK: Optional[bool] = None

@@ -193,16 +193,39 @@ def _label_tiles(xs, ys, joints_ref, skel_ref, brush: float):
     return skel + _heat_tiles(xs, ys, joints_ref)
 
 
+def _kernel_cmaj(joints_ref, skel_ref, caps_ref, label_ref,
+                 mask_ref=None, part_ref=None, *, tile_h: int,
+                 width: int, brush: float):
+    """Assembled 22ch label in CHANNEL-MAJOR (F,22,H,W) — the
+    Mosaic-friendly emission: each channel is one clean
+    (sublane,lane)=(tile_h,width) store.  Writing the label
+    channel-LAST from the kernel instead (``_kernel_nhwc`` /
+    ``_kernel_packed`` below) forces a per-channel lane relayout that
+    the v5e register allocator spills catastrophically — measured
+    153 MB of spill slots against the 128 MB VMEM cap (queue3
+    2026-08-19T08:24Z), and 20-40 min remote compiles where it fit.
+    The wrapper converts to the consumer layout with ONE XLA transpose
+    (~0.5 ms HBM round-trip of the label stream) instead.
+    ``mask_ref is None`` (inference serving): the 39 mask capsules —
+    over half the kernel's per-pixel work — are never evaluated."""
+    h0 = (pl.program_id(1) * tile_h).astype(jnp.float32)
+    ys, xs = _grids((tile_h, width), h0)
+    for c, t in enumerate(_label_tiles(xs, ys, joints_ref, skel_ref,
+                                       brush)):
+        label_ref[0, c] = t.astype(label_ref.dtype)
+    if mask_ref is not None:
+        macc, pacc = _mask_tiles(xs, ys, caps_ref)
+        mask_ref[0] = macc
+        part_ref[0] = pacc
+
+
 def _kernel_nhwc(joints_ref, skel_ref, caps_ref, label_ref,
                  mask_ref=None, part_ref=None, *, tile_h: int,
                  width: int, brush: float):
-    """NHWC layout: the assembled (F,H,W,22) label written once — the
-    downstream consumers are all NHWC, so emitting it directly deletes
-    the two full-stream transposes + concat the channel-major layout
-    paid in prepare_batch (~3 extra HBM round-trips of the pipeline's
-    biggest tensor).  ``mask_ref is None`` (inference serving): the 39
-    mask capsules — over half the kernel's per-pixel work — are never
-    evaluated."""
+    """NHWC layout, label written channel-last directly from the
+    kernel.  RENDERLOOM_RASTER_LANE_EMIT=1 only: on current Mosaic the
+    channel-minor stores spill registers past VMEM (see
+    ``_kernel_cmaj``); kept for re-evaluation on newer toolchains."""
     h0 = (pl.program_id(1) * tile_h).astype(jnp.float32)
     ys, xs = _grids((tile_h, width), h0)
     tiles = _label_tiles(xs, ys, joints_ref, skel_ref, brush)
@@ -221,7 +244,9 @@ def _kernel_packed(joints_ref, skel_ref, caps_ref, label_ref,
     ``fastpath.space_to_depth`` of the NHWC label, so the parity-layout
     fast path never pays a space-to-depth on its input.  The masks stay
     full-res.  Same per-pixel work: each full-res pixel is computed in
-    exactly one parity tile."""
+    exactly one parity tile.  RENDERLOOM_RASTER_LANE_EMIT=1 only — the
+    88-channel-minor store spills registers past VMEM on current
+    Mosaic (see ``_kernel_cmaj``)."""
     th_p, w_p = tile_h // 2, width // 2
     h0 = (pl.program_id(1) * tile_h).astype(jnp.float32)
     tiles = []
@@ -323,6 +348,12 @@ def rasterize_frames_fused(key: Optional[jax.Array], coords: jax.Array,
         jax.ShapeDtypeStruct((F, height, width), jnp.float32),
         jax.ShapeDtypeStruct((F, height, width), jnp.float32),
     ] if emit_masks else []
+    # Channel-LAST emission straight from the kernel is opt-in: Mosaic
+    # spills the lane-relayout stores past the 128 MB VMEM cap (packed:
+    # 153 MB of register spill slots, queue3 2026-08-19T08:24Z) — the
+    # default path emits channel-major and relayouts in XLA below.
+    import os
+    lane_emit = os.environ.get("RENDERLOOM_RASTER_LANE_EMIT") == "1"
     if layout == "cfhw":
         kfn = _kernel
         out_specs = [
@@ -334,6 +365,16 @@ def rasterize_frames_fused(key: Optional[jax.Array], coords: jax.Array,
         out_shape = [
             jax.ShapeDtypeStruct((F, J, height, width), out_dtype),
             jax.ShapeDtypeStruct((F, 3, height, width), out_dtype),
+        ] + mask_shapes
+    elif layout in ("nhwc", "packed") and not lane_emit:
+        kfn = _kernel_cmaj
+        out_specs = [
+            pl.BlockSpec((1, J + 3, tile_h, width),
+                         lambda f, t: (f, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ] + mask_specs
+        out_shape = [
+            jax.ShapeDtypeStruct((F, J + 3, height, width), out_dtype),
         ] + mask_shapes
     elif layout == "nhwc":
         kfn = _kernel_nhwc
@@ -374,7 +415,21 @@ def rasterize_frames_fused(key: Optional[jax.Array], coords: jax.Array,
         heat, skimg, mask, part = outs
         return {"heatmaps": heat, "skeleton": skimg, "mask": mask,
                 "part_mask": part}
+    label = outs[0]
+    if kfn is _kernel_cmaj:
+        # consumer relayout in XLA (one fused transpose, ~0.5 ms for
+        # the 29-frame bf16 label stream — vs the VMEM-blowing lane
+        # relayout inside the kernel)
+        C = J + 3
+        if layout == "nhwc":
+            label = jnp.transpose(label, (0, 2, 3, 1))
+        else:
+            Fh, Hh, Wh = label.shape[0], height // 2, width // 2
+            label = label.reshape(Fh, C, Hh, 2, Wh, 2)
+            # packed channel = (row_parity*2 + col_parity)*C + c
+            label = jnp.transpose(label, (0, 2, 4, 3, 5, 1)) \
+                .reshape(Fh, Hh, Wh, 4 * C)
     if not emit_masks:
-        return {"label": outs[0]}
-    label, mask, part = outs
+        return {"label": label}
+    mask, part = outs[1], outs[2]
     return {"label": label, "mask": mask, "part_mask": part}

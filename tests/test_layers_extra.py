@@ -226,3 +226,66 @@ def test_partial_conv3d_shapes_and_mask():
     assert float(jnp.abs(out[0, 0]).max()) == 0.0
     assert float(jnp.abs(out[0, 1]).max()) > 0
     assert float(m2.sum()) > float(mask.sum())
+
+
+def test_instance_norm_large_mean_numerically_stable():
+    """ADVICE r3: fp32 one-pass E[x²]−E[x]² collapses var to 0 when
+    |mean| ≫ std (large conv bias).  Whatever moment scheme
+    instance_norm uses must survive mean=4096, std=1e-2 in fp32."""
+    from renderloom.models.layers import instance_norm
+
+    rng = np.random.default_rng(0)
+    z = rng.normal(0, 1, (2, 24, 32, 8))
+    # reference in float64 FROM THE fp32-QUANTIZED input: at mean 4096
+    # the fp32 ulp (~4.9e-4) is itself 5% of std — that representation
+    # error is inherent; the test isolates the moment-scheme error
+    x32 = (4096.0 + 1e-2 * z).astype(np.float32)
+    x64 = x32.astype(np.float64)
+    ref = (x64 - x64.mean(axis=(1, 2), keepdims=True)) / np.sqrt(
+        x64.var(axis=(1, 2), keepdims=True) + 1e-5)
+    got = np.asarray(instance_norm(jnp.asarray(x32)))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    # gradient stays finite and correctly scaled in the same regime
+    g = jax.grad(lambda t: jnp.mean(jax.lax.square(
+        instance_norm(t))))(jnp.asarray(x32))
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_instance_norm_p4_large_mean_numerically_stable():
+    """Same stability contract for the parity-packed inference norm."""
+    from renderloom.models.fastpath import instance_norm_p4, space_to_depth
+
+    rng = np.random.default_rng(1)
+    z = rng.normal(0, 1, (1, 16, 24, 8))
+    x32 = (4096.0 + 1e-2 * z).astype(np.float32)
+    x64 = x32.astype(np.float64)
+    ref = (x64 - x64.mean(axis=(1, 2), keepdims=True)) / np.sqrt(
+        x64.var(axis=(1, 2), keepdims=True) + 1e-5)
+    got_p = instance_norm_p4(space_to_depth(jnp.asarray(x32)))
+    # unpack: compare parity 0 (rows 0::2, cols 0::2, channels :8)
+    np.testing.assert_allclose(np.asarray(got_p[..., :8]),
+                               ref[:, 0::2, 0::2, :], atol=2e-3)
+
+
+def test_instance_norm_matches_two_pass_reference():
+    """Value + gradient parity with the straight two-pass fp32 form at
+    moderate scales (the scheme change must be numerics-only)."""
+    from renderloom.models.layers import instance_norm
+
+    def two_pass(x, s, b):
+        m = jnp.mean(x, axis=(1, 2), keepdims=True)
+        v = jnp.mean(jax.lax.square(x - m), axis=(1, 2), keepdims=True)
+        return (x - m) * jax.lax.rsqrt(v + 1e-5) * s + b
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(3.0, 2.0, (2, 12, 16, 6)), jnp.float32)
+    s = jnp.asarray(rng.normal(1, 0.2, (6,)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.2, (6,)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(instance_norm(x, scale=s, bias=b)),
+                               np.asarray(two_pass(x, s, b)), atol=2e-5)
+    g1 = jax.grad(lambda t: jnp.sum(jax.lax.square(
+        instance_norm(t, scale=s, bias=b))))(x)
+    g2 = jax.grad(lambda t: jnp.sum(jax.lax.square(
+        two_pass(t, s, b))))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
