@@ -192,16 +192,23 @@ def prepare_window(key: Optional[jax.Array], images: jax.Array,
     else:
         k_aff = k_ras = k_blur = None
 
-    m = _window_affine(k_aff, images.shape[1], images.shape[2], cfg,
-                       train)
-
     to_unit = lambda x: x.astype(jnp.float32) / 127.5 - 1.0
-    warp = jax.vmap(lambda im: img_ops.affine_warp(im, m, H, W))
-    images_t = warp(to_unit(images))
-    dain_t = warp(to_unit(dain))
-
-    coords = jax.vmap(lambda p: img_ops.transform_keypoints(p[:, :2], m)
-                      )(poses)
+    if (key is None or not train) and (
+            images.shape[1] == H and images.shape[2] == W
+            and cfg.load_height == H and cfg.load_width == W):
+        # statically-identity affine (deterministic path, source already
+        # at load==model size): skip the two full-stream bilinear warps
+        images_t = to_unit(images)
+        dain_t = to_unit(dain)
+        coords = poses[:, :, :2].astype(jnp.float32)
+    else:
+        m = _window_affine(k_aff, images.shape[1], images.shape[2], cfg,
+                           train)
+        warp = jax.vmap(lambda im: img_ops.affine_warp(im, m, H, W))
+        images_t = warp(to_unit(images))
+        dain_t = warp(to_unit(dain))
+        coords = jax.vmap(
+            lambda p: img_ops.transform_keypoints(p[:, :2], m))(poses)
     conf = poses[:, :, 2]
 
     ras = raster.rasterize_frames(
@@ -293,14 +300,27 @@ def prepare_batch(key: Optional[jax.Array], batch: Dict[str, jax.Array],
         k_ras = k_blur = None
         geo_keys = None
 
+    # Deterministic path + source already at load==model size → the
+    # affine is STATICALLY the identity: skip the two full-stream
+    # bilinear gather warps (the dominant non-raster cost of eval/
+    # serving prep — gathers are the expensive primitive on TPU, and
+    # at the identity they resample every pixel onto itself).
+    identity_eval = (key is None or not train) and (
+        images.shape[2] == H and images.shape[3] == W
+        and cfg.load_height == H and cfg.load_width == W)
+
     def warp_window(k, imgs, dns, pose):
+        to_unit = lambda x: x.astype(jnp.float32) / 127.5 - 1.0
+        if identity_eval:
+            return (to_unit(imgs), to_unit(dns),
+                    pose[:, :, :2].astype(jnp.float32),
+                    pose[:, :, 2])
         if k is not None:
             k_aff, kb = jax.random.split(k)
         else:
             k_aff = kb = None
         m = _window_affine(k_aff, imgs.shape[1], imgs.shape[2], cfg,
                            train)
-        to_unit = lambda x: x.astype(jnp.float32) / 127.5 - 1.0
         warp = jax.vmap(lambda im: img_ops.affine_warp(im, m, H, W))
         imgs_t = warp(to_unit(imgs))
         dns_t = warp(to_unit(dns))

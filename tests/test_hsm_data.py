@@ -121,3 +121,36 @@ def test_prepare_batch_jit(hsm_h5):
                jnp.asarray(batch["poses"].astype(np.float32)))
     assert out["label"].shape == (2, 4, 64, 96, 22)
     assert np.isfinite(np.asarray(out["label"])).all()
+
+
+def test_eval_identity_skip_matches_warp():
+    """Deterministic prep at src==load==model skips the affine warp; the
+    skipped path must equal the explicit identity warp bit-near-exactly
+    (bilinear at integer coordinates)."""
+    from renderloom.ops import image as img_ops
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (3, H0, W0, 3)).astype(np.float32)
+    dain = rng.integers(0, 255, (3, H0, W0, 3)).astype(np.float32)
+    poses = np.concatenate(
+        [rng.uniform(5, 60, (3, 19, 2)), rng.uniform(0.5, 1, (3, 19, 1))],
+        axis=-1).astype(np.float32)
+    out = prepare_window(None, jnp.asarray(imgs), jnp.asarray(dain),
+                         jnp.asarray(poses), CFG, train=False)
+
+    m = img_ops.resize_matrix(H0, W0, H0, W0)
+    to_unit = lambda x: x / 127.5 - 1.0
+    warped = jax.vmap(lambda im: img_ops.affine_warp(im, m, H0, W0))(
+        to_unit(jnp.asarray(imgs)))
+    np.testing.assert_allclose(np.asarray(out["image"]),
+                               np.asarray(warped), atol=1e-5)
+
+    # fused path agrees with the vmap path under the skip too
+    batch = {"images": jnp.asarray(imgs)[None],
+             "dain": jnp.asarray(dain)[None],
+             "poses": jnp.asarray(poses)[None]}
+    fused = prepare_batch(None, batch, CFG, train=False, fused_raster=True)
+    np.testing.assert_allclose(np.asarray(fused["image"][0]),
+                               np.asarray(out["image"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused["label"][0]),
+                               np.asarray(out["label"]), atol=5e-3)
