@@ -2,7 +2,7 @@
 
 The e2e serving pipeline (scripts/serving_e2e_tpu.py — the batched
 form of the reference's per-video test loop,
-``Pose_Guided_Neural_Rendering/test.py:33-53``) compiles one XLA
+``Pose_Guided_Neural_Rendering/models/evaluator.py:48-147``) compiles one XLA
 program per clip-batch size, and measured throughput is NOT monotone in
 the batch size: on TPU the 2-clip program sat in an XLA remat valley
 (82.5 f/s vs 86.5 at 1 clip, BASELINE.md serving table) while 4/8 clips
