@@ -188,8 +188,8 @@ def bench_e2e(rate: int = 4, keyframes: int = 8, repeats: int = 3
     def prep_fn(pred, dense_conf, backs, keys):
         poses = jnp.concatenate([pred * 256 + 256, dense_conf], axis=1)
         poses = jnp.transpose(poses, (2, 0, 1)).astype(jnp.float32)
-        images = jnp.zeros((L, H, W, 3), jnp.float32)
-        images = images.at[::rate].set(keys * 255.0)
+        from renderloom.eval.pipeline import assemble_keyframe_stream
+        images = assemble_keyframe_stream(keys * 255.0, rate)
         prep = prepare_batch(None, {"images": images[None],
                                     "dain": backs[None] * 255.0,
                                     "poses": poses[None]},

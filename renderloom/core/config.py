@@ -319,6 +319,14 @@ class RendererConfig:
     perceptual: PerceptualConfig = field(default_factory=PerceptualConfig)
     l1_w: float = 30.0
     mask_w: float = 5.0
+    # Optional fg-masked SSIM term, 1−SSIM on the same denorm+mask
+    # protocol the evaluator scores (evaluator.py:149-163).  0.0 =
+    # reference parity (the reference has no such term); the TPU demo
+    # enables it because its perceptual loss runs on random VGG
+    # features without a weight snapshot, which wins PSNR but loses
+    # SSIM to the warped-background baseline (BASELINE.md round-4 GAN
+    # demo: OURS_SSIM 0.906 vs DAIN 0.927).
+    ssim_w: float = 0.0
 
     batch_size: int = 4
     seed: int = 0

@@ -50,7 +50,20 @@ def export_pipeline(fn: Callable, m_params, g_params, n_clips: int,
         jax.ShapeDtypeStruct((n_clips, keyframes, height, width, 3),
                              jnp.float32),
     )
-    exported = jexport.export(serve, platforms=list(platforms))(*specs)
+    # pin the Pallas-kernel lowering target to the export target: a
+    # TPU artifact traced on a CPU build host must lower the compiled
+    # Mosaic kernels, not bake interpret-mode emulation
+    # (renderloom.ops.target_is_tpu)
+    import os
+    prev = os.environ.get("RENDERLOOM_TARGET_PLATFORM")
+    os.environ["RENDERLOOM_TARGET_PLATFORM"] = platforms[0]
+    try:
+        exported = jexport.export(serve, platforms=list(platforms))(*specs)
+    finally:
+        if prev is None:
+            os.environ.pop("RENDERLOOM_TARGET_PLATFORM", None)
+        else:
+            os.environ["RENDERLOOM_TARGET_PLATFORM"] = prev
     L = (keyframes - 1) * rate + 1
     meta = {"format": "renderloom-pipeline", "version": 1,
             "n_clips": n_clips, "keyframes": keyframes, "rate": rate,

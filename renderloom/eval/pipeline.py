@@ -25,6 +25,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def assemble_keyframe_stream(keys: jax.Array, rate: int) -> jax.Array:
+    """Spread K keyframes into an L=(K−1)·rate+1 frame stream (zeros at
+    in-between slots) WITHOUT a strided scatter: ``images.at[::rate]
+    .set(keys)`` scalarizes on TPU, while (K−1) groups of
+    [key, zeros×(rate−1)] built by concat+reshape are pure layout ops.
+    Exactness vs the scatter form is asserted in
+    scripts/prep_bisect_tpu.py.  ``keys``: (..., K, H, W, C) — leading
+    batch dims allowed."""
+    *lead, K, H, W, C = keys.shape
+    z = jnp.zeros((*lead, K - 1, rate - 1, H, W, C), keys.dtype)
+    grp = jnp.concatenate([keys[..., :-1, None, :, :, :], z], axis=-4)
+    flat = grp.reshape(*lead, (K - 1) * rate, H, W, C)
+    return jnp.concatenate([flat, keys[..., -1:, :, :, :]], axis=-4)
+
+
 def make_pipeline_fn(interp, rollout, data_cfg, rate: int,
                      keyframes: int, *, fused_raster: bool = False,
                      packed_label: bool = False,
@@ -85,9 +100,7 @@ def make_pipeline_fn(interp, rollout, data_cfg, rate: int,
         poses = jnp.concatenate([pred[:, :, :, :L] * 256 + 256, dconf],
                                 axis=2)
         poses = jnp.transpose(poses, (0, 3, 1, 2)).astype(jnp.float32)
-        N = keys.shape[0]
-        images = jnp.zeros((N, L, H, W, 3), jnp.float32)
-        images = images.at[:, ::rate].set(keys * 255.0)
+        images = assemble_keyframe_stream(keys * 255.0, rate)
         prep = prepare_batch(None, {"images": images,
                                     "dain": backs * 255.0,
                                     "poses": poses},

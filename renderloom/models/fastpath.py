@@ -254,28 +254,46 @@ def _pallas_norm_compiles() -> bool:
     return _PALLAS_NORM_OK
 
 
-def use_pallas_norm() -> bool:
-    """Fused Pallas instance norm (exact; inference only) — opt-in via
-    RENDERLOOM_PALLAS_NORM=1 (an explicit 1 skips the compile probe —
-    measurement sweeps want the compile error loud).
+def use_pallas_norm(parity: bool = False) -> bool:
+    """Fused Pallas instance norm (exact; inference only) — shape-aware
+    default from the corrected round-4 micro (scripts/norm_micro_tpu.py
+    after the bf16-carry fix, BASELINE.md queue-4 section):
 
-    Default OFF: on real v5e the kernel measured SLOWER than XLA's
-    fused norm at the render shapes (5.35 ms vs 2.25 ms at 7×320×480×32,
-    scripts/norm_micro_tpu.py — XLA already fuses the two reductions
-    and the normalize well), so auto-enabling on probe success would
-    pick the losing path."""
+    * parity/packed tensors (the fast path's layout): the kernel WINS
+      1.6× (1.63 vs 2.62 ms at 7×160×240×128) and nearly halves the
+      fast mask net (10.67 vs 19.37 ms) → **default ON on TPU**, gated
+      by the eager compile probe (`_pallas_norm_compiles`) so a Mosaic
+      regression falls back instead of crashing inference.
+    * unpacked low-channel tensors: XLA's fusion wins (1.79 vs
+      3.37 ms at 7×320×480×32) → default OFF.
+
+    RENDERLOOM_PALLAS_NORM overrides both: ``1`` forces ON everywhere
+    and skips the probe (measurement sweeps want the compile error
+    loud), any other truthy value forces ON behind the probe, ``0``
+    forces OFF."""
     import os
+
+    from renderloom.ops import target_is_tpu
     env = os.environ.get("RENDERLOOM_PALLAS_NORM")
     if env is not None:
-        return env not in ("0", "false", "")
-    return False
+        if env in ("0", "false", ""):
+            return False
+        return env == "1" or _pallas_norm_compiles()
+    if not parity or not target_is_tpu():
+        return False
+    if jax.default_backend() != "tpu":
+        # cross-host export for a TPU target: the eager Mosaic probe
+        # can't run here — lowering errors surface at export time
+        return True
+    return _pallas_norm_compiles()
 
 
 def _norm(h, ns, nb, parity=False, act=False):
     """Instance norm (+affine, optional fused leaky) picking the Pallas
-    kernel on TPU and the XLA path elsewhere — same function either way
-    (tests/test_norm_pallas.py)."""
-    if use_pallas_norm():
+    kernel on TPU for parity/packed tensors (measured 1.6× there,
+    BASELINE.md queue-4 norm micro) and the XLA path elsewhere — same
+    function either way (tests/test_norm_pallas.py)."""
+    if use_pallas_norm(parity=parity):
         try:
             from renderloom.ops.norm_pallas import instance_norm_fused
             from .layers import LEAKY_SLOPE
@@ -627,7 +645,11 @@ def trunk_apply_fast(tp: dict, label: jax.Array, cond_maps, cond_packed,
 def use_fastpath() -> bool:
     """Default policy: parity-layout inference on TPU (where low-channel
     lane padding is the bottleneck); standard flax path elsewhere.
-    Override with RENDERLOOM_FASTPATH=0/1."""
+    Override with RENDERLOOM_FASTPATH=0/1.
+
+    ON by the in-situ A/B (whole bench pipeline, identical everything
+    but this flag, 2026-08-19 queue-4): fast 102.6 vs standard
+    84.07 f/s (BASELINE.md "In-situ fast-path A/B")."""
     import os
     env = os.environ.get("RENDERLOOM_FASTPATH")
     if env is not None:

@@ -39,6 +39,103 @@ def leaky(x):
     return nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
 
 
+def _in_moments(x: jax.Array, eps: float):
+    """Per-(B,C) mean + rsqrt(var+eps) over H, W — SHIFTED one-pass.
+
+    With s any per-(B,C) constant, ``var = E[(x−s)²] − E[x−s]²`` is
+    exact algebra.  s is a SINGLE data sample (pixel (0,0) per (B,C)):
+    one element-per-group read, so the two moment reductions stay the
+    only full pass over x — a row/strided-sample shift (round-4)
+    serialized an extra pass over x ahead of the fused moments, and
+    the GAN-regression bisect (BASELINE.md round-5) measured exactly
+    that as lost step time.  Any in-distribution sample gives the
+    stability we need: the fp32 cancellation in m2 − m1² scales with
+    ((mean−s)/std)², and even a k-sigma-outlier shift keeps ~24−2·log2(k)
+    bits of variance precision, vs s=0 which loses ALL of them when
+    |mean| ≫ std (large conv bias — ADVICE r3; the two-pass fix cost a
+    third full read, 18% off the GAN step)."""
+    xf = x.astype(jnp.float32)
+    if x.shape[1] == 0 or x.shape[2] == 0:
+        # zero-sized spatial extent (deep tiny-input pyramids): no
+        # sample to shift by; moments are NaN either way, like the
+        # unshifted form
+        s = jnp.zeros((x.shape[0], 1, 1, x.shape[3]), jnp.float32)
+    else:
+        s = jax.lax.slice(xf, (0, 0, 0, 0),
+                          (xf.shape[0], 1, 1, xf.shape[3]))
+    m1 = jnp.mean(xf - s, axis=(1, 2), keepdims=True)
+    m2 = jnp.mean(jax.lax.square(xf - s), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(m2 - jax.lax.square(m1), 0.0)
+    return s, m1, jax.lax.rsqrt(var + eps)
+
+
+def _in_apply(x, s, m1, inv, scale, bias):
+    """Centered apply in TWO stages — ``((x − s) − m1)·inv·γ + β``:
+    the mean must never be rounded at the data's magnitude.  Folding
+    μ = s + m1 into one fp32 scalar quantizes it to the ulp of s (at
+    mean 4096 that is 2.4e-4 ≈ 2.4% of a 1e-2 std), while x − s is
+    exact (Sterbenz) and m1 is a small number with full precision.
+    Same reason the folded ``a·x + b`` form is out
+    (tests/test_layers_extra.py::test_instance_norm_large_mean_…).
+    Result stays in compute dtype (VERDICT r2 #1)."""
+    out = (x.astype(jnp.float32) - s - m1) * inv
+    if scale is not None:
+        out = out * scale
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
+def _sum_to(g: jax.Array, shape) -> jax.Array:
+    """Sum a cotangent down to a broadcastable parameter shape."""
+    extra = g.ndim - len(shape)
+    if extra:
+        g = g.sum(axis=tuple(range(extra)))
+    axes = tuple(i for i, s in enumerate(shape) if s == 1 and
+                 g.shape[i] != 1)
+    return g.sum(axis=axes, keepdims=True) if axes else g
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _instance_norm_vjp(x, scale, bias, eps):
+    s, m1, inv = _in_moments(x, eps)
+    return _in_apply(x, s, m1, inv, scale, bias)
+
+
+def _in_fwd(x, scale, bias, eps):
+    s, m1, inv = _in_moments(x, eps)
+    return (_in_apply(x, s, m1, inv, scale, bias),
+            (x, s, m1, inv, scale, bias))
+
+
+def _in_bwd(eps, res, dy):
+    """Hand-written IN backward: residuals are x (compute dtype, a conv
+    output that lives in HBM anyway) + per-(B,C) scalars — autodiff of
+    the forward instead saved a full fp32 centered copy of every
+    normed activation, which cost the GAN train step 21% (r3→r4
+    regression, BASELINE.md round-5 bisect).  Standard normalization
+    VJP: dx = inv·(g − E[g] − x̂·E[g·x̂]) with g = dy·γ; exact
+    including eps because x̂ is defined with the same rsqrt(var+eps)."""
+    x, s, m1, inv, scale, bias = res
+    dyf = dy.astype(jnp.float32)
+    xhat = (x.astype(jnp.float32) - s - m1) * inv
+    g = dyf * scale if scale is not None else dyf
+    mg = jnp.mean(g, axis=(1, 2), keepdims=True)
+    mgx = jnp.mean(g * xhat, axis=(1, 2), keepdims=True)
+    dx = ((g - mg - xhat * mgx) * inv).astype(x.dtype)
+    dscale = (_sum_to(dyf * xhat, scale.shape).astype(scale.dtype)
+              if scale is not None else None)
+    dbias = (_sum_to(dyf, bias.shape).astype(bias.dtype)
+             if bias is not None else None)
+    return dx, dscale, dbias
+
+
+_instance_norm_vjp.defvjp(_in_fwd, _in_bwd)
+
+
 def instance_norm(x: jax.Array, eps: float = 1e-5,
                   scale: Optional[jax.Array] = None,
                   bias: Optional[jax.Array] = None) -> jax.Array:
@@ -46,42 +143,99 @@ def instance_norm(x: jax.Array, eps: float = 1e-5,
 
     Statistics accumulate in float32 even under bfloat16 compute (bf16
     variance accumulation visibly degrades normalization quality).
+    The implementation DISPATCHES ON INPUT DTYPE — the round-5
+    GAN-regression bisect (BASELINE.md round-5; same-block driver-
+    protocol A/B) measured every shift-exact scheme 10–19% off the
+    whole train step vs the folded one-pass, because the data-dependent
+    shift serializes a reduction ahead of the fused moments and the
+    centered apply denies XLA the single folded ``a·x + b`` pass:
 
-    Moments are SHIFTED one-pass: with s any per-(B,C) constant,
-    ``var = E[(x−s)²] − E[x−s]²`` is exact algebra, and taking s from
-    the data itself (row-0 mean) makes the fp32 cancellation scale
-    with the sample's z-score instead of |mean|/std — the two failure
-    modes this kills, at ONE read of x for both reductions:
+    * **bfloat16 inputs** (the TPU compute path) → folded one-pass
+      (``onepass``).  Safe BY REPRESENTABILITY: a bf16 tensor cannot
+      carry structure finer than ulp ≈ |mean|/256, so the regime the
+      shift protects (|mean|/std ≫ 2⁸, where fp32 ``E[x²]−E[x]²``
+      cancels catastrophically) is already quantized away at the
+      input.  Within the representable regime the scheme error
+      (fp32 accumulation rounding + cancellation, ≈
+      eps_fp32·log₂(HW)·(mean/std)² of var — worst ~0.3σ at the
+      mean/std=2⁸ extreme) stays below the input's own quantization
+      noise (ulp(mean)/std = 2σ at that same extreme)
+      (tests/test_layers_extra.py::test_instance_norm_bf16_dispatch…).
+    * **float32 inputs** (CPU tests, fp32 users) → shift-exact custom
+      VJP (``vjp``): moments shifted by a per-(B,C) data sample
+      (`_in_moments`), centered apply (`_in_apply`), hand-written
+      backward (`_in_bwd`) whose residuals are x + scalars.  Survives
+      mean=4096/std=1e-2 (the ADVICE-r3 contract,
+      test_instance_norm_large_mean_numerically_stable).
 
-    * plain one-pass (s=0) collapses var to the clamped 0 when
-      |mean| ≫ std (large conv bias), applying a huge wrong rsqrt
-      scale (ADVICE r3);
-    * the two-pass fix costs a third full read of every normed
-      activation — measured 18% off the whole GAN train step
-      (BASELINE.md 2026-08-19 capture).
-
-    The shift's gradient is identically zero (∂var/∂s = 0 for every
-    s), so ``stop_gradient`` keeps autodiff exact.  The apply pass is
-    centered — ``(d − m1)·a + bias`` — NOT the folded ``a·x + b``: at
-    large mean the fold's ``a·x`` and ``b`` are huge near-cancelling
-    terms whose fp32 ulp quantizes the output
-    (tests/test_layers_extra.py::test_instance_norm_large_mean_…).
-    The result STAYS in compute dtype (no fp32 round-trip of the
-    activation stream — VERDICT r2 #1)."""
-    xf = x.astype(jnp.float32)
-    s = jax.lax.stop_gradient(
-        jnp.mean(xf[:, :1], axis=(1, 2), keepdims=True))
-    d = xf - s
-    m1 = jnp.mean(d, axis=(1, 2), keepdims=True)
-    m2 = jnp.mean(jax.lax.square(d), axis=(1, 2), keepdims=True)
-    var = jnp.maximum(m2 - jax.lax.square(m1), 0.0)
-    a = jax.lax.rsqrt(var + eps)
-    if scale is not None:
-        a = a * scale
-    out = (d - m1) * a
-    if bias is not None:
-        out = out + bias
-    return out.astype(x.dtype)
+    ``RENDERLOOM_NORM_IMPL`` overrides the dispatch for A/B
+    measurement (scripts/gan_norm_bisect_tpu.py): ``vjp``, ``onepass``
+    (r3 body), ``shifted`` (r4 body: same shifted math under plain
+    autodiff — saves a full fp32 centered residual per norm),
+    ``twopass`` (mean then centered variance — a third full read)."""
+    import os
+    impl = os.environ.get("RENDERLOOM_NORM_IMPL")
+    if impl is None:
+        impl = "onepass" if x.dtype == jnp.bfloat16 else "vjp"
+    if impl == "vjp":
+        return _instance_norm_vjp(x, scale, bias, eps)
+    if impl == "shifted":               # r4 body (e4d47af), for A/B
+        xf = x.astype(jnp.float32)
+        s = jax.lax.stop_gradient(
+            jnp.mean(xf[:, :1], axis=(1, 2), keepdims=True))
+        d = xf - s
+        m1 = jnp.mean(d, axis=(1, 2), keepdims=True)
+        m2 = jnp.mean(jax.lax.square(d), axis=(1, 2), keepdims=True)
+        var = jnp.maximum(m2 - jax.lax.square(m1), 0.0)
+        a = jax.lax.rsqrt(var + eps)
+        if scale is not None:
+            a = a * scale
+        out = (d - m1) * a
+        return (out + bias if bias is not None else out).astype(x.dtype)
+    if impl == "onepass":               # r3 body (130c004), for A/B
+        m1 = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        m2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
+                      axis=(1, 2), keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+        a = jax.lax.rsqrt(var + eps)
+        if scale is not None:
+            a = a * scale
+        b = -m1 * a
+        if bias is not None:
+            b = b + bias
+        return (x.astype(jnp.float32) * a + b).astype(x.dtype)
+    if impl == "centered":   # onepass moments + centered fp32 apply
+        m1 = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        m2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
+                      axis=(1, 2), keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+        a = jax.lax.rsqrt(var + eps)
+        if scale is not None:
+            a = a * scale
+        out = (x.astype(jnp.float32) - m1) * a
+        return (out + bias if bias is not None else out).astype(x.dtype)
+    if impl == "r3centered":            # exact 89d3c7c body (the 7.05
+        # w/s control), incl. its fp32 promotion of affine outputs
+        x32 = x.astype(jnp.float32)
+        m1 = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        m2 = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+        out = ((x32 - m1) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+        if scale is not None:
+            out = out * scale
+        if bias is not None:
+            out = out + bias
+        return out
+    if impl == "twopass":               # advisor fix (270eaa4), for A/B
+        m1 = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        c = x.astype(jnp.float32) - m1
+        var = jnp.mean(jax.lax.square(c), axis=(1, 2), keepdims=True)
+        a = jax.lax.rsqrt(var + eps)
+        if scale is not None:
+            a = a * scale
+        out = c * a
+        return (out + bias if bias is not None else out).astype(x.dtype)
+    raise ValueError(f"unknown RENDERLOOM_NORM_IMPL {impl!r}")
 
 
 class InstanceNorm(nn.Module):

@@ -312,11 +312,13 @@ def upsample_background(frames: jax.Array, rate: int, levels: int = 4,
     ts = jnp.arange(1, rate, dtype=jnp.float32) / rate
     mids = jax.vmap(at_t)(ts)              # (rate-1, K-1, H, W, C)
 
-    out = jnp.zeros(((K - 1) * rate + 1, H, W, C), frames.dtype)
-    out = out.at[::rate].set(frames)
-    for j in range(1, rate):
-        out = out.at[j::rate].set(mids[j - 1])
-    return out
+    # interleave by concat+reshape, not strided scatters (TPU scatters
+    # scalarize): group i = [frames[i], mids[:, i]...], then the last key
+    grp = jnp.concatenate(
+        [frames[:-1, None].astype(frames.dtype),
+         jnp.moveaxis(mids, 0, 1).astype(frames.dtype)], axis=1)
+    return jnp.concatenate(
+        [grp.reshape((K - 1) * rate, H, W, C), frames[-1:]], axis=0)
 
 
 @partial(jax.jit, static_argnames=("levels", "iters", "interp_fn"))

@@ -66,12 +66,16 @@ def _kernel(x_ref, s_ref, b_ref, out_ref, acc_ref, *, n_px: int,
             C = m1.shape[1] // 4
 
             def pavg(m):
-                if interpret:
-                    g = jnp.mean(m.reshape(1, 4, C), axis=1)
-                    return jnp.tile(g, (1, 4))
+                # interpret uses jnp.roll — IDENTICAL algebra to the
+                # compiled pltpu.roll (summing rotations by C, 2C, 3C
+                # is direction-independent mod 4C), so the CPU suite
+                # exercises the same rotation form that ships (ADVICE
+                # r4: the old reshape/tile branch left a roll-offset
+                # bug invisible off-hardware)
+                roll = jnp.roll if interpret else pltpu.roll
                 s = m
                 for k in (1, 2, 3):
-                    s = s + pltpu.roll(m, k * C, 1)
+                    s = s + roll(m, k * C, 1)
                 return s * 0.25
 
             m1 = pavg(m1)
@@ -118,7 +122,8 @@ def instance_norm_fused(x: jax.Array, scale: Optional[jax.Array] = None,
     tile = _pick_tile(n_px, align)
     if tile == 0:
         raise ValueError(f"no tile for H*W={n_px}")
-    interpret = interpret or jax.default_backend() != "tpu"
+    from renderloom.ops import target_is_tpu
+    interpret = interpret or not target_is_tpu()
     affine = scale is not None
     if scale is None:
         scale = jnp.ones((C,), jnp.float32)

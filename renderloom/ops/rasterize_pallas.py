@@ -304,8 +304,11 @@ def rasterize_frames_fused(key: Optional[jax.Array], coords: jax.Array,
             tile_h += 1
     if height % tile_h != 0:
         tile_h = height          # fall back to one tile per frame
-    # compiled pallas needs a TPU; elsewhere run the interpreter
-    interpret = interpret or jax.default_backend() != "tpu"
+    # compiled pallas needs a TPU target; elsewhere run the interpreter
+    # (target, not backend: cross-host export must not bake interpret
+    # mode into a TPU artifact — ops.target_is_tpu)
+    from renderloom.ops import target_is_tpu
+    interpret = interpret or not target_is_tpu()
 
     def tables_one(k, c, cf):
         if train and k is not None:

@@ -242,10 +242,19 @@ def make_gan_train_step(gen: Generator, dis: DiscriminatorSet,
                        + masked_l1_image(img, fg, real)) * cfg.l1_w
             loss_mask = mask_regulation_loss(mask) * cfg.mask_w
             total = loss_gan + loss_fm + loss_perc + loss_l1 + loss_mask
-            aux = {"fused": fused,
-                   "metrics": {"g/gan": loss_gan, "g/fm": loss_fm,
-                               "g/perc": loss_perc, "g/l1": loss_l1,
-                               "g/mask": loss_mask, "g/total": total}}
+            metrics = {"g/gan": loss_gan, "g/fm": loss_fm,
+                       "g/perc": loss_perc, "g/l1": loss_l1,
+                       "g/mask": loss_mask}
+            if cfg.ssim_w:           # static: off at reference parity
+                from renderloom.ops.image import denorm_to_unit, ssim
+                loss_ssim = (1.0 - ssim(
+                    (denorm_to_unit(fused) * fg).astype(jnp.float32),
+                    (denorm_to_unit(real) * fg).astype(jnp.float32))
+                ) * cfg.ssim_w
+                total = total + loss_ssim
+                metrics["g/ssim"] = loss_ssim
+            metrics["g/total"] = total
+            aux = {"fused": fused, "metrics": metrics}
             return total, aux
 
         (g_total, aux), out_grads = jax.value_and_grad(

@@ -3,10 +3,11 @@
 The e2e serving pipeline (scripts/serving_e2e_tpu.py — the batched
 form of the reference's per-video test loop,
 ``Pose_Guided_Neural_Rendering/models/evaluator.py:48-147``) compiles one XLA
-program per clip-batch size, and measured throughput is NOT monotone in
-the batch size: on TPU the 2-clip program sat in an XLA remat valley
-(82.5 f/s vs 86.5 at 1 clip, BASELINE.md serving table) while 4/8 clips
-scale well.  Rather than hand-tuning every program out of its valley,
+program per clip-batch size, and measured throughput is not guaranteed
+monotone in the batch size: on round-3's stack the 2-clip program sat
+in an XLA remat valley (82.5 f/s vs 86.5 at 1 clip; the round-4 stack
+lifted it out — 147.0 vs 104.8 — but nothing pins future programs out
+of such valleys).  Rather than hand-tuning every program out of its valley,
 the serving layer plans each request as a multiset of PROFILED batch
 sizes — running a request of 2 as two 1-clip programs, or padding 6
 clips into the 8-clip program when that is measured faster than any

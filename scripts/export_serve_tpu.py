@@ -1,0 +1,137 @@
+"""Prove the StableHLO serving artifact on real hardware (VERDICT r4 #7).
+
+Two phases, run as separate processes (deliberately: the export phase
+emulates the production build flow — a CPU-only build host freezing a
+TPU program):
+
+  JAX_PLATFORMS=cpu python scripts/export_serve_tpu.py export /tmp/p.rlx
+      builds the pipeline at reference scale (random-init weights,
+      deterministic seed), exports for platform 'tpu' WITHOUT touching
+      the TPU, writes the single-file artifact.
+
+  python scripts/export_serve_tpu.py serve /tmp/p.rlx
+      on the TPU host: loads the artifact, measures load -> first-batch
+      latency and steady-state frames/s (chained-carry + device-scalar
+      hard sync), then builds the SAME pipeline live (same seeds) and
+      measures it for the frozen-vs-live comparison + output drift.
+
+Serialize TPU jobs; the serve phase owns the chip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+RATE, K = 4, 8
+
+
+def _configs():
+    from renderloom.core.config import MotionConfig, RendererConfig
+    return (MotionConfig(compute_dtype="bfloat16"),
+            RendererConfig(compute_dtype="bfloat16"))
+
+
+def do_export(path: str):
+    from renderloom.core.cache import enable_compile_cache
+    enable_compile_cache()
+    import jax
+
+    from renderloom.eval.export import export_pipeline, save_exported
+    from renderloom.eval.pipeline import build_pipeline
+
+    print(f"build host backend: {jax.default_backend()}", flush=True)
+    mcfg, rcfg = _configs()
+    H, W = rcfg.data.model_height, rcfg.data.model_width
+    tic = time.perf_counter()
+    fn, m_params, folded_g = build_pipeline(mcfg, rcfg, RATE, K,
+                                            platform="tpu")
+    exported, meta = export_pipeline(fn, m_params, folded_g, 1, K, H, W,
+                                     RATE, ["tpu"])
+    nbytes = save_exported(path, exported, meta)
+    print(json.dumps({"export_s": round(time.perf_counter() - tic, 1),
+                      "artifact_mb": round(nbytes / 1e6, 1),
+                      "built_on": jax.default_backend()}), flush=True)
+
+
+def do_serve(path: str, reps: int = 10):
+    from renderloom.core.cache import enable_compile_cache
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    assert jax.default_backend() == "tpu", jax.devices()
+
+    rng = np.random.default_rng(0)
+    mcfg, rcfg = _configs()
+    H, W = rcfg.data.model_height, rcfg.data.model_width
+    L = (K - 1) * RATE + 1
+    motion = rng.uniform(-0.4, 0.4, (1, 19, 2, K)).astype(np.float32)
+    conf = np.full((1, 19, 1, K), 0.9, np.float32)
+    keys = rng.uniform(0, 1, (1, K, H, W, 3)).astype(np.float32)
+
+    # ---- frozen artifact: load -> first batch -> steady state -------
+    from renderloom.eval.export import load_exported
+    tic = time.perf_counter()
+    serve, meta = load_exported(path)
+    t_load = time.perf_counter() - tic
+    assert meta["platforms"] == ["tpu"] and meta["frames_out"] == L
+
+    tic = time.perf_counter()
+    fused, sync = serve(motion, conf, keys)
+    float(sync)                                 # hard sync
+    t_first = time.perf_counter() - tic
+
+    carry = float(sync)
+    tic = time.perf_counter()
+    for _ in range(reps):
+        fused, sync = serve(motion + np.float32(carry), conf, keys)
+        carry = float(sync)                     # hard sync each rep
+    t_steady = (time.perf_counter() - tic) / reps
+    fused_frozen = np.asarray(fused)
+
+    # ---- live-traced pipeline, same seeds, for comparison -----------
+    from renderloom.eval.pipeline import build_pipeline
+    tic = time.perf_counter()
+    fn, m_params, folded_g = build_pipeline(mcfg, rcfg, RATE, K,
+                                            platform="tpu")
+    live = jax.jit(lambda m, c, k: fn(m_params, folded_g, m, c, k))
+    out, sync = live(motion + np.float32(carry), conf, keys)
+    float(sync)
+    t_live_first = time.perf_counter() - tic
+
+    carry2 = 0.0
+    tic = time.perf_counter()
+    for _ in range(reps):
+        out, sync = live(motion + np.float32(carry2), conf, keys)
+        carry2 = float(sync)
+    t_live = (time.perf_counter() - tic) / reps
+
+    out_live, _ = live(motion, conf, keys)      # same inputs as frozen
+    drift = float(jnp.abs(out_live - fused_frozen).max())
+
+    print(json.dumps({
+        "platform": "tpu",
+        "load_s": round(t_load, 2),
+        "first_batch_s": round(t_first, 2),
+        "frozen_fps": round(L / t_steady, 1),
+        "live_build_to_first_s": round(t_live_first, 2),
+        "live_fps": round(L / t_live, 1),
+        "max_drift_vs_live": drift,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    mode, path = sys.argv[1], sys.argv[2]
+    if mode == "export":
+        do_export(path)
+    elif mode == "serve":
+        do_serve(path, int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+    else:
+        raise SystemExit(f"unknown mode {mode}")

@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def main(reps: int = 4):
+def main(reps: int = 4,
+         configs=((4, False), (8, False), (8, True), (16, True))):
     from renderloom.core.cache import enable_compile_cache
     enable_compile_cache()
 
@@ -37,7 +38,7 @@ def main(reps: int = 4):
     mesh = make_mesh()
     rng = np.random.default_rng(0)
 
-    for B, remat in ((4, False), (8, False), (8, True), (16, True)):
+    for B, remat in configs:
         cfg = RendererConfig(
             compute_dtype="bfloat16" if on_tpu else "float32",
             batch_size=B)
@@ -116,4 +117,11 @@ def main(reps: int = 4):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 4)
+    # usage: gan_cost_tpu.py [reps] [B:remat ...]   e.g.  4 12:0 12:1 16:1
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    if len(sys.argv) > 2:
+        cfgs = tuple((int(a.split(":")[0]), bool(int(a.split(":")[1])))
+                     for a in sys.argv[2:])
+        main(reps, cfgs)
+    else:
+        main(reps)

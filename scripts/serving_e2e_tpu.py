@@ -84,9 +84,8 @@ def main(rate: int = 4, keyframes: int = 8, reps: int = 10):
         poses = jnp.concatenate([pred[:, :, :, :L] * 256 + 256, dconf],
                                 axis=2)
         poses = jnp.transpose(poses, (0, 3, 1, 2)).astype(jnp.float32)
-        N = keys_b.shape[0]
-        images = jnp.zeros((N, L, H, W, 3), jnp.float32)
-        images = images.at[:, ::rate].set(keys_b * 255.0)
+        from renderloom.eval.pipeline import assemble_keyframe_stream
+        images = assemble_keyframe_stream(keys_b * 255.0, rate)
         prep = prepare_batch(None, {"images": images,
                                     "dain": backs * 255.0,
                                     "poses": poses},

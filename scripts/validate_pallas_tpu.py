@@ -81,11 +81,14 @@ def main():
         [jnp.transpose(a["skeleton"], (0, 2, 3, 1)) * 2.0 - 1.0,
          jnp.transpose(a["heatmaps"], (0, 2, 3, 1))], axis=-1)
     rows = []
-    # tile_h capped at 96: the first capture showed 160 already 4x
-    # slower than 32/64 and the 320-row configs hung the remote
-    # compiler for 28 min until the queue timeout (rc=124)
+    # tile_h: divisors of H only (ADVICE r4: 96 does not divide 320,
+    # so the kernel silently fell back to tile_h=H — the exact
+    # full-height config that hung the remote compiler ~28 min — and
+    # the row was recorded under the wrong label).  Cap below 160: the
+    # first capture showed 160 already 4x slower than 32/64.
+    tile_hs = [t for t in (16, 32, 64, 80) if H % t == 0]
     for layout in ("cfhw", "nhwc", "packed"):
-        for th in (16, 32, 64, 96):
+        for th in tile_hs:
             for dt in (jnp.float32, jnp.bfloat16):
                 fn = jax.jit(lambda c, cf, lay=layout, t=th, d=dt:
                              rasterize_frames_fused(

@@ -289,3 +289,108 @@ def test_instance_norm_matches_two_pass_reference():
     g2 = jax.grad(lambda t: jnp.sum(jax.lax.square(
         two_pass(t, s, b))))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+
+
+def test_instance_norm_custom_vjp_param_grads_and_variants():
+    """The hand-written VJP (RENDERLOOM_NORM_IMPL=vjp, default) must
+    match plain autodiff of the two-pass form for dx, dscale AND dbias,
+    and every A/B variant must agree on the value at moderate scales
+    (the impl switch exists for the r3->r4 GAN-regression bisect,
+    BASELINE.md round-5)."""
+    import os
+
+    from renderloom.models.layers import instance_norm
+
+    def two_pass(x, s, b):
+        m = jnp.mean(x, axis=(1, 2), keepdims=True)
+        v = jnp.mean(jax.lax.square(x - m), axis=(1, 2), keepdims=True)
+        return (x - m) * jax.lax.rsqrt(v + 1e-5) * s + b
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(1.0, 1.5, (2, 20, 16, 6)), jnp.float32)
+    s = jnp.asarray(rng.normal(1, 0.3, (6,)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.3, (6,)), jnp.float32)
+
+    def loss(fn, x, s, b):
+        return jnp.sum(jnp.sin(fn(x, scale=s, bias=b)
+                               if fn is instance_norm
+                               else fn(x, s, b)))
+
+    gx1, gs1, gb1 = jax.grad(lambda *a: loss(instance_norm, *a),
+                             argnums=(0, 1, 2))(x, s, b)
+    gx2, gs2, gb2 = jax.grad(lambda *a: loss(two_pass, *a),
+                             argnums=(0, 1, 2))(x, s, b)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs2),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb2),
+                               rtol=2e-5, atol=1e-5)
+
+    # no-affine path: gradient wrt x only, same agreement
+    gx3 = jax.grad(lambda t: jnp.sum(jnp.sin(instance_norm(t))))(x)
+    gx4 = jax.grad(lambda t: jnp.sum(jnp.sin(
+        two_pass(t, jnp.float32(1), jnp.float32(0)))))(x)
+    np.testing.assert_allclose(np.asarray(gx3), np.asarray(gx4),
+                               atol=3e-5)
+
+    # all bisect variants agree on the forward value
+    ref = np.asarray(instance_norm(x, scale=s, bias=b))
+    for impl in ("shifted", "onepass", "twopass"):
+        os.environ["RENDERLOOM_NORM_IMPL"] = impl
+        try:
+            got = np.asarray(instance_norm(x, scale=s, bias=b))
+        finally:
+            del os.environ["RENDERLOOM_NORM_IMPL"]
+        np.testing.assert_allclose(got, ref, atol=5e-5, err_msg=impl)
+
+
+def test_instance_norm_bf16_dispatch_matches_exact_path():
+    """Default dispatch: bf16 inputs take the folded one-pass (the
+    round-5 regression fix — BASELINE.md round-5 bisect), fp32 inputs
+    the shift-exact VJP.  The bf16 result must agree with the exact
+    fp32 reference to within the input's own bf16 quantization noise,
+    including at the largest mean/std ratio bf16 can represent (~2^8),
+    where the one-pass fp32 cancellation is at its worst admissible
+    point."""
+    from renderloom.models.layers import instance_norm
+
+    rng = np.random.default_rng(11)
+    #                       scheme tolerance (in σ units):
+    #   mean/std ≤ ~16  →  bf16 output ulp dominates (~8e-3)
+    #   mean/std = 256  →  the bf16-representable EXTREME: fp32
+    #       accumulation rounding in E[x²] costs ~0.3σ — but the
+    #       input's own bf16 quantization noise there is ulp(mean)/std
+    #       = 2σ, so the scheme stays well below what quantization
+    #       already destroyed (the dispatch-safety argument)
+    for mean, std, tol in ((0.0, 1.0, 2e-2), (8.0, 2.0, 2e-2),
+                           (256.0, 1.0, 0.5)):
+        z = rng.normal(0, 1, (2, 24, 32, 8))
+        x32 = (mean + std * z).astype(np.float32)
+        x16 = jnp.asarray(x32, jnp.bfloat16)
+        # fp64 reference FROM the bf16-quantized values: isolates the
+        # moment-scheme error from the representation error
+        xq = np.asarray(x16, np.float64)
+        ref = (xq - xq.mean(axis=(1, 2), keepdims=True)) / np.sqrt(
+            xq.var(axis=(1, 2), keepdims=True) + 1e-5)
+        got = np.asarray(instance_norm(x16), np.float64)
+        np.testing.assert_allclose(got, ref, atol=tol,
+                                   err_msg=f"mean={mean}")
+        if mean:
+            # and the scheme error is bounded by the quantization
+            # noise the bf16 input already carries
+            qnoise = float(np.abs(xq - x32.astype(np.float64)).max())
+            assert np.abs(got - ref).max() * std <= max(qnoise, 1e-2)
+
+    # gradient through the bf16 path stays finite and matches the
+    # fp32 exact path within bf16 noise
+    x32 = (4.0 + 1.5 * rng.normal(0, 1, (2, 16, 16, 4))).astype(
+        np.float32)
+    g16 = jax.grad(lambda t: jnp.mean(jax.lax.square(
+        instance_norm(t).astype(jnp.float32))))(
+            jnp.asarray(x32, jnp.bfloat16))
+    g32 = jax.grad(lambda t: jnp.mean(jax.lax.square(
+        instance_norm(t))))(jnp.asarray(x32))
+    assert bool(jnp.all(jnp.isfinite(g16)))
+    np.testing.assert_allclose(np.asarray(g16, np.float64),
+                               np.asarray(g32, np.float64), atol=2e-2)

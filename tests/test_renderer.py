@@ -308,3 +308,23 @@ def test_folded_spectral_norm_matches_training_generator(gan_setup):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_mask),
                                np.asarray(ref_mask), atol=1e-5)
+
+
+def test_gan_train_step_with_ssim_term(gan_setup):
+    """ssim_w>0 adds a finite fg-masked 1-SSIM term to the G loss (the
+    demo's fix for losing SSIM to the warped-background baseline,
+    BASELINE.md round-4 GAN demo); 0.0 (default) keeps reference
+    parity with no g/ssim metric."""
+    import dataclasses
+
+    cfg, gen, dis, txs, state = gan_setup
+    cfg_s = dataclasses.replace(cfg, ssim_w=8.0)
+    step = make_gan_train_step(gen, dis, txs, cfg_s, PerceptualLoss())
+    donated = jax.tree.map(jnp.array, state)
+    new_state, metrics = step(donated, make_batch())
+    assert "g/ssim" in metrics
+    v = float(metrics["g/ssim"])
+    assert np.isfinite(v) and 0.0 <= v <= 2.0 * cfg_s.ssim_w
+    delta_g = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                           state.params_g, new_state.params_g)
+    assert max(jax.tree.leaves(delta_g)) > 0
