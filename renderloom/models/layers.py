@@ -150,8 +150,17 @@ def instance_norm(x: jax.Array, eps: float = 1e-5,
     shift serializes a reduction ahead of the fused moments and the
     centered apply denies XLA the single folded ``a·x + b`` pass:
 
-    * **bfloat16 inputs** (the TPU compute path) → folded one-pass
-      (``onepass``).  Safe BY REPRESENTABILITY: a bf16 tensor cannot
+    * **bfloat16 inputs** (the TPU compute path) → one-pass moments
+      with the centered apply downcast BEFORE the affine
+      (``r3centered`` — the full same-block A/B: r3centered 7.112,
+      onepass 6.398, centered 6.223, vjp 5.708, shifted 5.628 w/s;
+      the affine then runs as its own trivially-differentiable layer,
+      which is worth 11% of the whole train step over folding
+      scale into the rsqrt scalars.  NOTE: affine call sites return
+      float32 — scale/bias are fp32 params — and every consumer conv
+      casts back to compute dtype; forcing the downcast inside the
+      norm was measured 14% slower).  Safe BY REPRESENTABILITY: a
+      bf16 tensor cannot
       carry structure finer than ulp ≈ |mean|/256, so the regime the
       shift protects (|mean|/std ≫ 2⁸, where fp32 ``E[x²]−E[x]²``
       cancels catastrophically) is already quantized away at the
@@ -176,7 +185,7 @@ def instance_norm(x: jax.Array, eps: float = 1e-5,
     import os
     impl = os.environ.get("RENDERLOOM_NORM_IMPL")
     if impl is None:
-        impl = "onepass" if x.dtype == jnp.bfloat16 else "vjp"
+        impl = "r3centered" if x.dtype == jnp.bfloat16 else "vjp"
     if impl == "vjp":
         return _instance_norm_vjp(x, scale, bias, eps)
     if impl == "shifted":               # r4 body (e4d47af), for A/B
