@@ -10,18 +10,19 @@ stamp() { echo "$1 rc=$2 $(date -u +%FT%TZ)" >> /tmp/q5_status.log; }
 
 echo "queue5 start $(date -u +%FT%TZ)" >> /tmp/q5_status.log
 
-# 1. GAN train frontier at the fixed norm: reference B=4 + scaling.
+# 1. driver-protocol benches (fast path + pallas parity norms default
+# + the r3centered bf16 norm dispatch)
+BENCH_METRIC=gan_train timeout 3600 python bench.py \
+    > /tmp/q5_bench_gan.log 2>&1; stamp bench_gan $?
+BENCH_METRIC=e2e timeout 3600 python bench.py \
+    > /tmp/q5_bench_e2e.log 2>&1; stamp bench_e2e $?
+
+# 2. GAN train frontier at the fixed norm: reference B=4 + scaling.
 # B=12/16 (both remat settings) already hard-failed in the remote
 # compiler (HTTP 500 tpu_compile_helper crash, all 4 server instances,
 # /tmp/q5_precompile_frontier.log) — B=10 tightens the bound instead.
 timeout 5400 python scripts/gan_cost_tpu.py 4 4:0 8:0 8:1 10:0 \
     > /tmp/q5_gancost.log 2>&1; stamp gancost $?
-
-# 2. driver-protocol benches (fast path + pallas parity norms default)
-BENCH_METRIC=e2e timeout 3600 python bench.py \
-    > /tmp/q5_bench_e2e.log 2>&1; stamp bench_e2e $?
-BENCH_METRIC=gan_train timeout 3600 python bench.py \
-    > /tmp/q5_bench_gan.log 2>&1; stamp bench_gan $?
 
 # 3. stage breakdown + prep bisect (incl. the 768x512 ingest path)
 timeout 3600 python scripts/profile_e2e_tpu.py \
