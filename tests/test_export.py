@@ -131,3 +131,24 @@ def test_export_cli(tiny_cfgs, tmp_path):
     fused, _ = serve(motion, conf, keys)
     assert np.asarray(fused).shape == (2, meta["frames_out"], H, W, 3)
     assert np.isfinite(np.asarray(fused)).all()
+
+
+def test_export_cross_host_tpu_target(tiny_cfgs):
+    """A TPU artifact frozen on a CPU build host (the production build
+    flow, scripts/export_serve_tpu.py) must embed the COMPILED Mosaic
+    kernels — `tpu_custom_call` in the StableHLO — not interpret-mode
+    per-element emulation (renderloom.ops.target_is_tpu pins the
+    lowering target during export; without it the artifact silently
+    bakes the CPU fallback)."""
+    from renderloom.eval.export import export_pipeline
+    from renderloom.eval.pipeline import build_pipeline
+
+    mcfg, rcfg = tiny_cfgs
+    fn, m_params, folded_g = build_pipeline(mcfg, rcfg, RATE, K,
+                                            platform="tpu")
+    exported, meta = export_pipeline(fn, m_params, folded_g, 1, K, H, W,
+                                     RATE, ["tpu"])
+    assert meta["platforms"] == ["tpu"]
+    text = exported.mlir_module()
+    assert "tpu_custom_call" in text, (
+        "TPU export from a CPU host lost the compiled Pallas kernels")
