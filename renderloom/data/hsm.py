@@ -201,6 +201,21 @@ def prepare_window(key: Optional[jax.Array], images: jax.Array,
         images_t = to_unit(images)
         dain_t = to_unit(dain)
         coords = poses[:, :, :2].astype(jnp.float32)
+    elif key is None or not train:
+        # deterministic path, source NOT at model size: the window
+        # affine is STATICALLY the pure resize_matrix (no
+        # shift/scale/rotate), so the bilinear warp factorizes into
+        # separable per-axis matmuls that ride the MXU instead of the
+        # per-pixel 2-D gathers (the dominant cost of disk-resolution
+        # ingest — BASELINE.md prep@disk bisect).
+        src_h, src_w = images.shape[1], images.shape[2]
+        res = lambda x: img_ops.separable_resize(
+            to_unit(x), cfg.load_height, cfg.load_width, H, W)
+        images_t = res(images)
+        dain_t = res(dain)
+        scale = jnp.array([np.float32(cfg.load_width / src_w),
+                           np.float32(cfg.load_height / src_h)])
+        coords = poses[:, :, :2].astype(jnp.float32) * scale
     else:
         m = _window_affine(k_aff, images.shape[1], images.shape[2], cfg,
                            train)
@@ -319,6 +334,17 @@ def prepare_batch(key: Optional[jax.Array], batch: Dict[str, jax.Array],
             k_aff, kb = jax.random.split(k)
         else:
             k_aff = kb = None
+        if k_aff is None or not train:
+            # statically a pure resize — separable MXU matmuls (see
+            # prepare_window's deterministic branch)
+            src_h, src_w = imgs.shape[1], imgs.shape[2]
+            res = lambda x: img_ops.separable_resize(
+                to_unit(x), cfg.load_height, cfg.load_width, H, W)
+            scale = jnp.array([np.float32(cfg.load_width / src_w),
+                               np.float32(cfg.load_height / src_h)])
+            return (res(imgs), res(dns),
+                    pose[:, :, :2].astype(jnp.float32) * scale,
+                    pose[:, :, 2])
         m = _window_affine(k_aff, imgs.shape[1], imgs.shape[2], cfg,
                            train)
         warp = jax.vmap(lambda im: img_ops.affine_warp(im, m, H, W))

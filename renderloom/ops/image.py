@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -113,6 +114,62 @@ def affine_warp(img: jax.Array, m: jax.Array, height: Optional[int] = None,
     src_x = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
     src_y = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
     return bilinear_sample(img, src_x, src_y, mode="constant")
+
+
+def _axis_resample_weights(src: int, out: int,
+                           inv_scale: np.float32) -> np.ndarray:
+    """(out, src) bilinear row-resample weights for the axis map
+    ``src_x = x' · inv_scale`` — the inverse map :func:`affine_warp`
+    uses for a pure :func:`resize_matrix` affine.  Built in float32
+    numpy at trace time (static shapes, mirrors the warp's float32
+    coordinate arithmetic); out-of-range taps contribute zero
+    (BORDER_CONSTANT, HSM_auto_dataset.py:26)."""
+    xs = np.arange(out, dtype=np.float32) * np.float32(inv_scale)
+    x0 = np.floor(xs)
+    w = (xs - x0).astype(np.float32)
+    x0i = x0.astype(np.int64)
+    mat = np.zeros((out, src), np.float32)
+    rows = np.arange(out)
+    lo_in = (x0i >= 0) & (x0i < src)
+    hi_in = (x0i + 1 >= 0) & (x0i + 1 < src)
+    mat[rows[lo_in], x0i[lo_in]] += (1.0 - w)[lo_in]
+    mat[rows[hi_in], np.clip(x0i + 1, 0, src - 1)[hi_in]] += w[hi_in]
+    return mat
+
+
+def separable_resize(img: jax.Array, dst_h: int, dst_w: int,
+                     out_h: Optional[int] = None,
+                     out_w: Optional[int] = None) -> jax.Array:
+    """Pure-scale resize of (..., H, W, C) as two dense matmuls.
+
+    Exactly the map ``affine_warp(img, resize_matrix(H, W, dst_h,
+    dst_w), out_h, out_w)`` computes — but an axis-aligned affine
+    factorizes the bilinear sample into per-axis 2-tap row
+    combinations, and on TPU an (out, src) weight matmul rides the MXU
+    where the general warp's per-pixel 2-D gathers serialize on the
+    scalar/vector units.  ``out_h/out_w`` (default ``dst_h/dst_w``)
+    crop the top-left window of the resized image, matching the warp's
+    output-size semantics when load size ≠ model size.  Used by the
+    deterministic eval/serving ingest (``data/hsm.py``) for the
+    reference's on-disk 768×512 → model 480×320 resample
+    (``HumanSloMo_Dataset/lib/gen_dataset.py:36`` frames into
+    ``datasets/HSM_auto_dataset.py:103-116`` A.Resize)."""
+    H, W = img.shape[-3], img.shape[-2]
+    out_h = dst_h if out_h is None else out_h
+    out_w = dst_w if out_w is None else out_w
+    # mirror invert_affine's float32 arithmetic exactly: for the
+    # diagonal resize affine m = diag(a, d) it computes
+    # inv_x = d/(a·d), inv_y = a/(a·d) — NOT 1/a, 1/d — so floor
+    # crossings land on the same side as the gather path's.
+    a = np.float32(dst_w / W)
+    d = np.float32(dst_h / H)
+    det = np.float32(a * d)
+    ah = jnp.asarray(_axis_resample_weights(H, out_h, np.float32(a / det)),
+                     img.dtype)
+    aw = jnp.asarray(_axis_resample_weights(W, out_w, np.float32(d / det)),
+                     img.dtype)
+    out = jnp.einsum("oh,...hwc->...owc", ah, img)
+    return jnp.einsum("pw,...owc->...opc", aw, out)
 
 
 def transform_keypoints(kps: jax.Array, m: jax.Array) -> jax.Array:

@@ -168,6 +168,19 @@ def main(reps: int = 10, rate: int = 4, keyframes: int = 8):
           lambda c: (keys_disk[:1] * 0 + c + jnp.tile(
               keys_disk, (L // K + 1, 1, 1, 1))[:L], backs_disk))
 
+    # ---- separable MXU resize at disk resolution (the round-5 lever:
+    # a pure-scale affine factorizes into two weight matmuls;
+    # prepare_batch's deterministic branch now dispatches here) -------
+    @jax.jit
+    def s_sep(images, dns):
+        res = lambda x: img_ops.separable_resize(x / 127.5 - 1.0, H, W)
+        a, b = res(images), res(dns)
+        return (a, b), (jnp.sum(a) + jnp.sum(b)) * 1e-20
+
+    bench(s_sep, "sep-resize@disk",
+          lambda c: (keys_disk[:1] * 0 + c + jnp.tile(
+              keys_disk, (L // K + 1, 1, 1, 1))[:L], backs_disk))
+
     # ---- whole prepare_batch, disk-size (warp path) ------------------
     @jax.jit
     def a_concat_disk(keys):

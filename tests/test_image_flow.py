@@ -275,3 +275,37 @@ def test_shift_warp_edge_clamp():
     fast = flow_ops.backward_warp_shift(img, flow, max_disp=12)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                atol=1e-5)
+
+
+def test_separable_resize_matches_affine_warp():
+    """The separable MXU-matmul resize must reproduce the general
+    gather warp exactly for every pure-scale affine the deterministic
+    ingest path can see (down-, up-, mixed-scale, and the reference's
+    on-disk 768x512 -> 480x320)."""
+    rng = np.random.default_rng(3)
+    for (sh, sw), (dh, dw) in [((512, 768), (320, 480)),
+                               ((64, 96), (96, 64)),
+                               ((40, 40), (56, 80)),
+                               ((33, 47), (17, 29))]:
+        img = jnp.asarray(rng.uniform(-1, 1, (sh, sw, 3)).astype(
+            np.float32))
+        m = img_ops.resize_matrix(sh, sw, dh, dw)
+        ref = img_ops.affine_warp(img, m, dh, dw)
+        sep = img_ops.separable_resize(img, dh, dw)
+        np.testing.assert_allclose(np.asarray(sep), np.asarray(ref),
+                                   atol=2e-6, rtol=0,
+                                   err_msg=f"{(sh, sw)}->{(dh, dw)}")
+
+
+def test_separable_resize_crop_matches_warp_output_size():
+    """load size != model size: the warp resizes to load and emits the
+    top-left model-size window; separable_resize(out_h, out_w) must
+    match that crop semantics."""
+    rng = np.random.default_rng(4)
+    sh, sw, lh, lw, oh, ow = 50, 70, 40, 60, 32, 48
+    img = jnp.asarray(rng.uniform(-1, 1, (sh, sw, 3)).astype(np.float32))
+    m = img_ops.resize_matrix(sh, sw, lh, lw)
+    ref = img_ops.affine_warp(img, m, oh, ow)
+    sep = img_ops.separable_resize(img, lh, lw, oh, ow)
+    np.testing.assert_allclose(np.asarray(sep), np.asarray(ref),
+                               atol=2e-6, rtol=0)
