@@ -42,6 +42,12 @@ def main(argv=None):
                    help="comma-separated export targets (tpu, cpu); "
                         "the first one picks the data layout (TPU: "
                         "fused Pallas raster + parity fast path)")
+    p.add_argument("--src-size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="accept keyframes at this on-disk resolution "
+                        "(e.g. 512 768, the reference's frame format) "
+                        "and resize on device at ingest; default: "
+                        "model resolution")
     p.add_argument("--out", type=str, required=True)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -83,13 +89,14 @@ def main(argv=None):
         mean = std = None
         print("WARNING: no motion normalization stats found")
 
+    src_size = tuple(args.src_size) if args.src_size else None
     fn, m_params, folded_g = build_pipeline(
         mcfg, rcfg, args.rate, args.keyframes, m_params=m_params,
         g_params=g_params, g_stats=g_stats, mean=mean, std=std,
-        platform=platforms[0])
+        platform=platforms[0], src_size=src_size)
     exported, meta = export_pipeline(
         fn, m_params, folded_g, args.clips, args.keyframes, H, W,
-        args.rate, platforms)
+        args.rate, platforms, src_size=src_size)
     meta["seed"] = args.seed
     meta["trained"] = bool(args.motion_ckpt and args.renderer_ckpt)
     n = save_exported(args.out, exported, meta)

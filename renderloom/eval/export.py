@@ -31,7 +31,8 @@ _MAGIC = b"RLXP1\n"
 
 def export_pipeline(fn: Callable, m_params, g_params, n_clips: int,
                     keyframes: int, height: int, width: int,
-                    rate: int, platforms: Sequence[str]
+                    rate: int, platforms: Sequence[str],
+                    src_size: Tuple[int, int] = None
                     ) -> Tuple[jexport.Exported, Dict[str, Any]]:
     """Freeze ``fn`` (a :func:`eval.pipeline.make_pipeline_fn` callable)
     over its weights and export it for ``platforms``.
@@ -41,13 +42,20 @@ def export_pipeline(fn: Callable, m_params, g_params, n_clips: int,
     keyframes) — static shapes are what lets XLA tile the program onto
     the MXU, and the batched-serving planner (`utils.serving`) already
     schedules requests as multisets of fixed program sizes.
+
+    ``src_size=(src_h, src_w)``: the artifact accepts keyframes at
+    on-disk resolution (``fn`` must have been built with the same
+    ``src_size`` so it resizes at ingest) — lets a deployment feed the
+    reference's 768×512 frames (`HumanSloMo_Dataset/lib/
+    gen_dataset.py:36`) without a host-side resample.
     """
     serve = jax.jit(lambda motion, conf, keys:
                     fn(m_params, g_params, motion, conf, keys))
+    in_h, in_w = src_size if src_size is not None else (height, width)
     specs = (
         jax.ShapeDtypeStruct((n_clips, 19, 2, keyframes), jnp.float32),
         jax.ShapeDtypeStruct((n_clips, 19, 1, keyframes), jnp.float32),
-        jax.ShapeDtypeStruct((n_clips, keyframes, height, width, 3),
+        jax.ShapeDtypeStruct((n_clips, keyframes, in_h, in_w, 3),
                              jnp.float32),
     )
     # pin the Pallas-kernel lowering target to the export target: a
@@ -69,9 +77,10 @@ def export_pipeline(fn: Callable, m_params, g_params, n_clips: int,
             "n_clips": n_clips, "keyframes": keyframes, "rate": rate,
             "frames_out": L, "height": height, "width": width,
             "platforms": list(platforms),
+            "src_size": list(src_size) if src_size is not None else None,
             "inputs": {"motion": [n_clips, 19, 2, keyframes],
                        "conf": [n_clips, 19, 1, keyframes],
-                       "keys": [n_clips, keyframes, height, width, 3]},
+                       "keys": [n_clips, keyframes, in_h, in_w, 3]},
             "output": [n_clips, L, height, width, 3]}
     return exported, meta
 

@@ -18,7 +18,7 @@ Python-free deployment.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +45,9 @@ def make_pipeline_fn(interp, rollout, data_cfg, rate: int,
                      packed_label: bool = False,
                      label_bf16: bool = False,
                      flow_levels: int = 3, flow_iters: int = 1,
-                     flow_scale: int = 4) -> Callable:
+                     flow_scale: int = 4,
+                     src_size: Optional[Tuple[int, int]] = None
+                     ) -> Callable:
     """Compose the full clip-interpolation pipeline into one function.
 
     ``interp``: :class:`renderloom.eval.motion_infer.MotionInterpolator`
@@ -70,10 +72,18 @@ def make_pipeline_fn(interp, rollout, data_cfg, rate: int,
     quality-validated background setting (BASELINE.md "Flow-backend
     quality gate").  ``fused_raster``/``packed_label``/``label_bf16``
     pick the TPU fast-path data layout; leave False for CPU.
+
+    ``src_size=(src_h, src_w)``: accept keyframes at a different (e.g.
+    on-disk) resolution — the reference stores 768×512 frames
+    (``HumanSloMo_Dataset/lib/gen_dataset.py:36``) and models at
+    480×320 — and resize them ONCE at ingest with the separable MXU
+    resize (K frames per clip, not the assembled L-frame streams).
+    ``motion``/``conf`` stay resolution-independent (normalized units).
     """
     from renderloom.data.hsm import prepare_batch
     from renderloom.eval.motion_infer import bucket_length
     from renderloom.ops.flow import upsample_background
+    from renderloom.ops.image import separable_resize
 
     H = data_cfg.model_height
     W = data_cfg.model_width
@@ -84,6 +94,13 @@ def make_pipeline_fn(interp, rollout, data_cfg, rate: int,
     is_key = jnp.asarray(np.arange(L) % rate == 0)
 
     def pipeline(m_params, g_params, motion, conf, keys):
+        if src_size is not None:
+            # disk-resolution ingest: resize the K keyframes ONCE,
+            # before flow/assembly fan them out into L-frame streams
+            # (prep_bisect_tpu.py: the general per-pixel-gather warp
+            # at 768×512 cost 137 ms/clip; the two-matmul separable
+            # form rides the MXU instead).
+            keys = separable_resize(keys, H, W)
         pred, _, dconf = jax.vmap(
             lambda m, c: interp._run(m_params, m, c, rate, times,
                                      interp_pad))(motion, conf)
@@ -122,7 +139,8 @@ def build_pipeline(mcfg, rcfg, rate: int, keyframes: int, *,
                    m_params=None, g_params=None, g_stats=None,
                    mean: Optional[np.ndarray] = None,
                    std: Optional[np.ndarray] = None,
-                   platform: Optional[str] = None):
+                   platform: Optional[str] = None,
+                   src_size: Optional[Tuple[int, int]] = None):
     """Construct models + the pipeline fn from configs.
 
     ``m_params``/``g_params``+``g_stats``: trained weights (e.g. from
@@ -131,6 +149,9 @@ def build_pipeline(mcfg, rcfg, rate: int, keyframes: int, *,
     — picks the data layout and generator path the way the serving
     scripts do (TPU: fused Pallas raster, parity-packed bf16 labels,
     parity-layout fast generator); defaults to the current backend.
+    ``src_size``: see :func:`make_pipeline_fn` — accept keyframes at
+    on-disk resolution (e.g. the reference's 768×512) and resize once
+    at ingest.
 
     Returns ``(fn, m_params, folded_g)`` where ``fn`` is the
     :func:`make_pipeline_fn` callable closed over nothing — pass the
@@ -177,5 +198,5 @@ def build_pipeline(mcfg, rcfg, rate: int, keyframes: int, *,
 
     fn = make_pipeline_fn(interp, rollout, rcfg.data, rate, keyframes,
                           fused_raster=on_tpu, packed_label=on_tpu,
-                          label_bf16=on_tpu)
+                          label_bf16=on_tpu, src_size=src_size)
     return fn, interp.params, folded_g

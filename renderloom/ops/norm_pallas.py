@@ -101,6 +101,18 @@ def _pick_tile(n: int, align: int, cap: int = 4096) -> int:
     return 0
 
 
+def _vmem_tile_cap(C: int, align: int) -> int:
+    """Tile cap keeping the kernel's scoped-VMEM stack under budget.
+
+    Hardware-measured rate: the f32 path costs ~15.1 bytes of kernel
+    stack per (tile × C) element (double-buffered in/out blocks + the
+    f32 temporaries) — 18.55 MB at tile=2400, C=512 against the 16 MB
+    scoped-VMEM limit, the queue-5b serving crash at clips≥2.  Budget
+    12 MB at 16 B/elem (conservative for bf16, whose blocks halve),
+    floor one sublane group so tiny-C shapes keep the 4096 cap."""
+    return max(align, (12 * 2**20) // (16 * C) // align * align)
+
+
 def instance_norm_fused(x: jax.Array, scale: Optional[jax.Array] = None,
                         bias: Optional[jax.Array] = None, *,
                         parity: bool = False,
@@ -119,7 +131,7 @@ def instance_norm_fused(x: jax.Array, scale: Optional[jax.Array] = None,
     B, H, W, C = x.shape
     n_px = H * W
     align = 16 if jnp.dtype(x.dtype).itemsize == 2 else 8
-    tile = _pick_tile(n_px, align)
+    tile = _pick_tile(n_px, align, min(4096, _vmem_tile_cap(C, align)))
     if tile == 0:
         raise ValueError(f"no tile for H*W={n_px}")
     from renderloom.ops import target_is_tpu

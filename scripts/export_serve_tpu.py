@@ -94,6 +94,11 @@ def do_serve(path: str, reps: int = 10):
         fused, sync = serve(motion + np.float32(carry), conf, keys)
         carry = float(sync)                     # hard sync each rep
     t_steady = (time.perf_counter() - tic) / reps
+    # re-run on the UN-perturbed inputs for the drift check: the timed
+    # loop feeds motion+carry, so its last output is not comparable to
+    # live(motion, ...) — the queue-5b capture read "drift 2.0" from
+    # exactly that mismatch
+    fused, _ = serve(motion, conf, keys)
     fused_frozen = np.asarray(fused)
 
     # ---- live-traced pipeline, same seeds, for comparison -----------

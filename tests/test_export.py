@@ -133,6 +133,49 @@ def test_export_cli(tiny_cfgs, tmp_path):
     assert np.isfinite(np.asarray(fused)).all()
 
 
+def test_export_disk_resolution_ingest(tiny_cfgs, built, tmp_path):
+    """`src_size`: the artifact accepts keyframes at on-disk resolution
+    (the reference stores 768×512 frames, `HumanSloMo_Dataset/lib/
+    gen_dataset.py:36`, models at 480×320) and resizes ONCE at ingest
+    with the separable MXU resize.  Contract: identical to feeding the
+    model-size pipeline pre-resized keys, meta/spec carry the disk
+    shape, and the frozen artifact round-trips."""
+    from renderloom.eval.export import (export_pipeline, load_exported,
+                                        save_exported)
+    from renderloom.eval.pipeline import build_pipeline
+    from renderloom.ops.image import separable_resize
+
+    mcfg, rcfg = tiny_cfgs
+    SH, SW = 2 * H, 2 * W
+    fn_src, m_params, folded_g = build_pipeline(
+        mcfg, rcfg, RATE, K, platform="cpu", src_size=(SH, SW))
+    fn_std, _, _ = built
+
+    motion, conf, _ = _inputs(1)
+    rng = np.random.default_rng(11)
+    keys_disk = rng.uniform(0, 1, (1, K, SH, SW, 3)).astype(np.float32)
+
+    fused_src, _ = fn_src(m_params, folded_g, motion, conf, keys_disk)
+    keys_model = np.asarray(separable_resize(keys_disk, H, W))
+    fused_std, _ = fn_std(m_params, folded_g, motion, conf, keys_model)
+    np.testing.assert_allclose(np.asarray(fused_src),
+                               np.asarray(fused_std), rtol=0, atol=1e-5)
+
+    exported, meta = export_pipeline(fn_src, m_params, folded_g, 1, K,
+                                     H, W, RATE, ["cpu"],
+                                     src_size=(SH, SW))
+    assert meta["src_size"] == [SH, SW]
+    assert meta["inputs"]["keys"] == [1, K, SH, SW, 3]
+    assert meta["output"] == [1, meta["frames_out"], H, W, 3]
+    path = str(tmp_path / "disk.rlx")
+    save_exported(path, exported, meta)
+    serve, meta2 = load_exported(path)
+    assert meta2["src_size"] == [SH, SW]
+    fused_frozen, _ = serve(motion, conf, keys_disk)
+    np.testing.assert_allclose(np.asarray(fused_frozen),
+                               np.asarray(fused_src), rtol=0, atol=1e-4)
+
+
 def test_export_cross_host_tpu_target(tiny_cfgs):
     """A TPU artifact frozen on a CPU build host (the production build
     flow, scripts/export_serve_tpu.py) must embed the COMPILED Mosaic

@@ -45,3 +45,35 @@ def test_parity_matches():
 def test_no_tile_raises():
     with pytest.raises(ValueError):
         instance_norm_fused(_x((1, 1, 7, 4)), interpret=True)
+
+
+def test_vmem_cap_splits_large_c_tiles():
+    """The queue-5b serving crash shape: (B, 60, 40, 512) f32 — a single
+    2400-row tile at C=512 costs ~18.5 MB of scoped VMEM (> the 16 MB
+    hardware limit).  The cap must split the tile AND keep the result
+    exact (multi-tile accumulation path)."""
+    from renderloom.ops.norm_pallas import _pick_tile, _vmem_tile_cap
+
+    cap = _vmem_tile_cap(512, 8)
+    assert cap < 2400, cap
+    tile = _pick_tile(2400, 8, min(4096, cap))
+    assert 0 < tile < 2400 and 2400 % tile == 0
+    # 16 B/elem budget model stays under 12 MB
+    assert tile * 512 * 16 <= 12 * 2**20
+
+    x = _x((2, 60, 40, 512), 7)
+    s = _x((512,), 8) + 2.0
+    b = _x((512,), 9)
+    got = instance_norm_fused(x, s, b, parity=True, slope=LEAKY_SLOPE,
+                              interpret=True)
+    ref = leaky(instance_norm_p4(x, s, b))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_small_c_keeps_wide_tiles():
+    """Low-channel shapes (the packed 88-channel label path where the
+    kernel's win was measured) must keep the 4096-row cap."""
+    from renderloom.ops.norm_pallas import _vmem_tile_cap
+
+    assert _vmem_tile_cap(88, 8) >= 4096
+    assert _vmem_tile_cap(128, 16) >= 4096
