@@ -141,7 +141,7 @@ def build_h5(path):
     return path
 
 
-def main(steps=500):
+def main(steps=500, ssim_w=0.0):
     from renderloom.core.cache import enable_compile_cache
     enable_compile_cache()
     import jax
@@ -162,9 +162,11 @@ def main(steps=500):
     # (no VGG19_NPZ snapshot in this environment), which won PSNR but
     # lost fg-masked SSIM to the warped-background baseline (round-4:
     # OURS_SSIM 0.906 vs DAIN 0.927) — the optional 1−SSIM term targets
-    # the evaluator's own metric directly.  Off (0.0) at reference
-    # parity; harmless when real VGG weights are supplied.
-    cfg = RendererConfig(compute_dtype="bfloat16", ssim_w=8.0)
+    # the evaluator's own metric directly.  Measured: w=8.0 at 3000
+    # steps DESTABILIZED the GAN (PSNR 21.41→17.63, SSIM unchanged —
+    # /tmp/q5b_gan_demo.log); pass a small weight (≤2) instead.  Off
+    # (0.0) at reference parity.
+    cfg = RendererConfig(compute_dtype="bfloat16", ssim_w=ssim_w)
     cfg = dataclasses.replace(cfg, data=dataclasses.replace(
         cfg.data, train_video_list=["clip_a", "clip_b", "clip_c",
                                     "clip_d"],
@@ -241,4 +243,5 @@ def main(steps=500):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 500)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 500,
+         float(sys.argv[2]) if len(sys.argv) > 2 else 0.0)
