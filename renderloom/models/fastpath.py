@@ -254,23 +254,38 @@ def _pallas_norm_compiles() -> bool:
     return _PALLAS_NORM_OK
 
 
-def use_pallas_norm(parity: bool = False) -> bool:
+def _pallas_norm_max_batch() -> int:
+    import os
+
+    return int(os.environ.get("RENDERLOOM_PALLAS_NORM_MAX_B", "7"))
+
+
+def use_pallas_norm(parity: bool = False, batch: Optional[int] = None,
+                    ) -> bool:
     """Fused Pallas instance norm (exact; inference only) — shape-aware
     default from the corrected round-4 micro (scripts/norm_micro_tpu.py
-    after the bf16-carry fix, BASELINE.md queue-4 section):
+    after the bf16-carry fix, BASELINE.md queue-4 section) plus the
+    round-5 serving A/B (queue-5c Pallas vs queue-5e XLA, same commit):
 
-    * parity/packed tensors (the fast path's layout): the kernel WINS
-      1.6× (1.63 vs 2.62 ms at 7×160×240×128) and nearly halves the
-      fast mask net (10.67 vs 19.37 ms) → **default ON on TPU**, gated
-      by the eager compile probe (`_pallas_norm_compiles`) so a Mosaic
-      regression falls back instead of crashing inference.
+    * parity/packed tensors at single-clip segment batch (B ≤ 7): the
+      kernel WINS — 1.6× in the micro (1.63 vs 2.62 ms at
+      7×160×240×128), and in situ 133.0 vs 105.5 f/s at clips=1
+      → **default ON on TPU**, gated by the eager compile probe
+      (`_pallas_norm_compiles`) so a Mosaic regression falls back
+      instead of crashing inference.
+    * batched serving programs (B > 7, i.e. multi-clip): XLA wins —
+      170.5 vs 163.2 f/s at clips=8, 147.9 vs 143.4 at clips=2: the
+      VMEM tile cap retiles the C=512 trunk norms (2400→1200 rows) and
+      the kernel loses its margin → default OFF past
+      ``RENDERLOOM_PALLAS_NORM_MAX_B`` (default 7, one clip's segment
+      batch).
     * unpacked low-channel tensors: XLA's fusion wins (1.79 vs
       3.37 ms at 7×320×480×32) → default OFF.
 
-    RENDERLOOM_PALLAS_NORM overrides both: ``1`` forces ON everywhere
-    and skips the probe (measurement sweeps want the compile error
-    loud), any other truthy value forces ON behind the probe, ``0``
-    forces OFF."""
+    RENDERLOOM_PALLAS_NORM overrides all of this: ``1`` forces ON
+    everywhere and skips the probe (measurement sweeps want the compile
+    error loud), any other truthy value forces ON behind the probe,
+    ``0`` forces OFF."""
     import os
 
     from renderloom.ops import target_is_tpu
@@ -281,6 +296,8 @@ def use_pallas_norm(parity: bool = False) -> bool:
         return env == "1" or _pallas_norm_compiles()
     if not parity or not target_is_tpu():
         return False
+    if batch is not None and batch > _pallas_norm_max_batch():
+        return False
     if jax.default_backend() != "tpu":
         # cross-host export for a TPU target: the eager Mosaic probe
         # can't run here — lowering errors surface at export time
@@ -290,10 +307,11 @@ def use_pallas_norm(parity: bool = False) -> bool:
 
 def _norm(h, ns, nb, parity=False, act=False):
     """Instance norm (+affine, optional fused leaky) picking the Pallas
-    kernel on TPU for parity/packed tensors (measured 1.6× there,
-    BASELINE.md queue-4 norm micro) and the XLA path elsewhere — same
+    kernel on TPU for parity/packed tensors at single-clip batch
+    (measured 1.6× there, BASELINE.md queue-4 norm micro; serving A/B
+    queue-5c/5e picks XLA past B=7) and the XLA path elsewhere — same
     function either way (tests/test_norm_pallas.py)."""
-    if use_pallas_norm(parity=parity):
+    if use_pallas_norm(parity=parity, batch=int(h.shape[0])):
         try:
             from renderloom.ops.norm_pallas import instance_norm_fused
             from .layers import LEAKY_SLOPE

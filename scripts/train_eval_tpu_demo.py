@@ -141,7 +141,7 @@ def build_h5(path):
     return path
 
 
-def main(steps=500, ssim_w=0.0):
+def main(steps=500, ssim_w=0.0, resume_from=0):
     from renderloom.core.cache import enable_compile_cache
     enable_compile_cache()
     import jax
@@ -187,6 +187,17 @@ def main(steps=500, ssim_w=0.0):
     ckpt_dir = "/tmp/demo_gan_ckpt"
     resume_at = max(steps // 2, 1)
     resumed = False
+    n = 0
+    if resume_from:
+        # continue a killed run from its mid-run orbax checkpoint
+        # (pass the step explicitly — the dir may hold checkpoints
+        # from other demo configs)
+        skeleton = jax.device_get(state)
+        state = jax.device_put(ckpt.restore_checkpoint(
+            ckpt_dir, step=resume_from, target=skeleton))
+        n = resume_from
+        resumed = True
+        print(json.dumps({"resumed_from": n}), flush=True)
 
     # curriculum (reference train.py:109-110): the training window
     # grows by one frame per update_frame_step "epochs"; compressed
@@ -195,9 +206,15 @@ def main(steps=500, ssim_w=0.0):
     max_frames = d.max_frames
     bumps = sorted({steps // 3: d.max_frames + 1,
                     2 * steps // 3: d.max_frames + 2}.items())
+    if n:                               # resumed: re-apply past bumps
+        past = [f for s, f in bumps if n >= s]
+        if past:
+            max_frames = past[-1]
+            reader.set_max_frames(max_frames)
+            print(json.dumps({"curriculum_window": max_frames}),
+                  flush=True)
 
     rng = np.random.default_rng(0)
-    n = 0
     tic = time.perf_counter()
     while n < steps:
         for batch in prefetch(reader.batches(rng, cfg.batch_size),
@@ -244,4 +261,5 @@ def main(steps=500, ssim_w=0.0):
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 500,
-         float(sys.argv[2]) if len(sys.argv) > 2 else 0.0)
+         float(sys.argv[2]) if len(sys.argv) > 2 else 0.0,
+         int(sys.argv[3]) if len(sys.argv) > 3 else 0)

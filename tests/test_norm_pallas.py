@@ -77,3 +77,34 @@ def test_small_c_keeps_wide_tiles():
 
     assert _vmem_tile_cap(88, 8) >= 4096
     assert _vmem_tile_cap(128, 16) >= 4096
+
+
+def test_batch_gate_default(monkeypatch):
+    """Round-5 serving A/B (queue-5c Pallas vs queue-5e XLA, same
+    commit): the kernel wins single-clip programs (B=7: 133.0 vs
+    105.5 f/s) and loses batched ones (B=14+: 143.4 vs 147.9 at
+    clips=2, 163.2 vs 170.5 at clips=8) — the default dispatch keys on
+    segment batch."""
+    import renderloom.ops
+    from renderloom.models import fastpath
+
+    monkeypatch.delenv("RENDERLOOM_PALLAS_NORM", raising=False)
+    # use_pallas_norm resolves target_is_tpu from renderloom.ops at
+    # call time — patch it there to simulate a TPU target on the CPU
+    # test host (backend stays 'cpu', so the ≤7 case takes the
+    # cross-host-export branch and returns True without the probe)
+    monkeypatch.setattr(renderloom.ops, "target_is_tpu", lambda: True)
+    assert fastpath.use_pallas_norm(parity=True, batch=7)
+    assert fastpath.use_pallas_norm(parity=True)  # no batch: trust it
+    assert not fastpath.use_pallas_norm(parity=True, batch=14)
+    assert not fastpath.use_pallas_norm(parity=True, batch=8)
+    assert not fastpath.use_pallas_norm(parity=False, batch=1)
+    # env override ignores the gate
+    monkeypatch.setenv("RENDERLOOM_PALLAS_NORM", "1")
+    assert fastpath.use_pallas_norm(parity=True, batch=64)
+    monkeypatch.setenv("RENDERLOOM_PALLAS_NORM", "0")
+    assert not fastpath.use_pallas_norm(parity=True, batch=1)
+    # threshold is env-tunable
+    monkeypatch.delenv("RENDERLOOM_PALLAS_NORM")
+    monkeypatch.setenv("RENDERLOOM_PALLAS_NORM_MAX_B", "16")
+    assert fastpath._pallas_norm_max_batch() == 16
