@@ -327,6 +327,13 @@ class RendererConfig:
     # SSIM to the warped-background baseline (BASELINE.md round-4 GAN
     # demo: OURS_SSIM 0.906 vs DAIN 0.927).
     ssim_w: float = 0.0
+    # Optional fg-masked image-gradient L1 (∇fused vs ∇real, forward
+    # differences) — matches local contrast structure while suppressing
+    # hallucinated high-frequency texture, the failure mode SSIM
+    # punishes in GAN output.  0.0 = reference parity.  Tried after the
+    # direct 1−SSIM term measured NEGATIVE at both w=8 and w=2 on the
+    # TPU demo (BASELINE.md round-5 GAN-demo table).
+    grad_w: float = 0.0
 
     batch_size: int = 4
     seed: int = 0

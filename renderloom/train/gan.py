@@ -253,6 +253,22 @@ def make_gan_train_step(gen: Generator, dis: DiscriminatorSet,
                 ) * cfg.ssim_w
                 total = total + loss_ssim
                 metrics["g/ssim"] = loss_ssim
+            if cfg.grad_w:           # static: off at reference parity
+                # fg-masked gradient L1: forward differences of the
+                # composite vs GT.  Matches the local contrast SSIM
+                # scores without handing the loss a full SSIM objective
+                # (which destabilized the GAN at w=8 AND w=2 —
+                # BASELINE.md round-5 GAN-demo table).
+                fm = (fused * fg).astype(jnp.float32)
+                rm = (real * fg).astype(jnp.float32)
+                loss_grad = (
+                    jnp.mean(jnp.abs(jnp.diff(fm, axis=-3)
+                                     - jnp.diff(rm, axis=-3)))
+                    + jnp.mean(jnp.abs(jnp.diff(fm, axis=-2)
+                                       - jnp.diff(rm, axis=-2)))
+                ) * cfg.grad_w
+                total = total + loss_grad
+                metrics["g/grad"] = loss_grad
             metrics["g/total"] = total
             aux = {"fused": fused, "metrics": metrics}
             return total, aux

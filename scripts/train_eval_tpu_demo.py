@@ -141,7 +141,7 @@ def build_h5(path):
     return path
 
 
-def main(steps=500, ssim_w=0.0, resume_from=0):
+def main(steps=500, ssim_w=0.0, resume_from=0, grad_w=0.0):
     from renderloom.core.cache import enable_compile_cache
     enable_compile_cache()
     import jax
@@ -166,7 +166,12 @@ def main(steps=500, ssim_w=0.0, resume_from=0):
     # steps DESTABILIZED the GAN (PSNR 21.41→17.63, SSIM unchanged —
     # /tmp/q5b_gan_demo.log); pass a small weight (≤2) instead.  Off
     # (0.0) at reference parity.
-    cfg = RendererConfig(compute_dtype="bfloat16", ssim_w=ssim_w)
+    # grad_w: fg-masked image-gradient L1 — the round-5 alternative
+    # after the direct SSIM term measured negative at w=8 AND w=2
+    # (BASELINE.md round-5 GAN-demo table): matches GT's local contrast
+    # while suppressing the hallucinated texture noise SSIM punishes.
+    cfg = RendererConfig(compute_dtype="bfloat16", ssim_w=ssim_w,
+                         grad_w=grad_w)
     cfg = dataclasses.replace(cfg, data=dataclasses.replace(
         cfg.data, train_video_list=["clip_a", "clip_b", "clip_c",
                                     "clip_d"],
@@ -262,4 +267,5 @@ def main(steps=500, ssim_w=0.0, resume_from=0):
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 500,
          float(sys.argv[2]) if len(sys.argv) > 2 else 0.0,
-         int(sys.argv[3]) if len(sys.argv) > 3 else 0)
+         int(sys.argv[3]) if len(sys.argv) > 3 else 0,
+         float(sys.argv[4]) if len(sys.argv) > 4 else 0.0)

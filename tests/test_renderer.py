@@ -328,3 +328,28 @@ def test_gan_train_step_with_ssim_term(gan_setup):
     delta_g = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                            state.params_g, new_state.params_g)
     assert max(jax.tree.leaves(delta_g)) > 0
+
+
+def test_gan_train_step_with_grad_term(gan_setup):
+    """grad_w>0 adds a finite fg-masked image-gradient L1 to the G loss
+    (the round-5 follow-up after the direct 1−SSIM term measured
+    negative at w=8 and w=2 — BASELINE.md round-5 GAN-demo table);
+    0.0 (default) keeps reference parity with no g/grad metric."""
+    import dataclasses
+
+    cfg, gen, dis, txs, state = gan_setup
+    cfg_g = dataclasses.replace(cfg, grad_w=30.0)
+    step = make_gan_train_step(gen, dis, txs, cfg_g, PerceptualLoss())
+    donated = jax.tree.map(jnp.array, state)
+    new_state, metrics = step(donated, make_batch())
+    assert "g/grad" in metrics
+    v = float(metrics["g/grad"])
+    assert np.isfinite(v) and v >= 0.0
+    delta_g = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                           state.params_g, new_state.params_g)
+    assert max(jax.tree.leaves(delta_g)) > 0
+
+    # default: no grad metric
+    step0 = make_gan_train_step(gen, dis, txs, cfg, PerceptualLoss())
+    _, m0 = step0(jax.tree.map(jnp.array, state), make_batch())
+    assert "g/grad" not in m0
