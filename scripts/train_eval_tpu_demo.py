@@ -141,7 +141,8 @@ def build_h5(path):
     return path
 
 
-def main(steps=500, ssim_w=0.0, resume_from=0, grad_w=0.0):
+def main(steps=500, ssim_w=0.0, resume_from=0, grad_w=0.0,
+         curriculum=True):
     from renderloom.core.cache import enable_compile_cache
     enable_compile_cache()
     import jax
@@ -208,9 +209,13 @@ def main(steps=500, ssim_w=0.0, resume_from=0, grad_w=0.0):
     # grows by one frame per update_frame_step "epochs"; compressed
     # here to thirds of the run so the demo exercises the reshape +
     # recompile path the real CLI takes
+    # curriculum=False pins the window (single compiled program) for
+    # time-boxed runs: each window bump is a fresh ~10-min cold compile
+    # through the remote compiler when the persistent cache is empty
     max_frames = d.max_frames
     bumps = sorted({steps // 3: d.max_frames + 1,
-                    2 * steps // 3: d.max_frames + 2}.items())
+                    2 * steps // 3: d.max_frames + 2}.items()
+                   ) if curriculum else []
     if n:                               # resumed: re-apply past bumps
         past = [f for s, f in bumps if n >= s]
         if past:
@@ -268,4 +273,5 @@ if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 500,
          float(sys.argv[2]) if len(sys.argv) > 2 else 0.0,
          int(sys.argv[3]) if len(sys.argv) > 3 else 0,
-         float(sys.argv[4]) if len(sys.argv) > 4 else 0.0)
+         float(sys.argv[4]) if len(sys.argv) > 4 else 0.0,
+         sys.argv[5] != "0" if len(sys.argv) > 5 else True)
